@@ -1,0 +1,149 @@
+"""Deterministic seeded CDC event-feed generator (FIXTURES.md §1-2).
+
+Generates the ``corpus`` base table and the ``events`` change feed with the
+adversarial cases the replay engine must survive: duplicate deliveries,
+multiple events per doc per batch, invalid deletes, out-of-order rows,
+update-after-delete, wrong ``n_tok``, null-token errors, and a Zipf-skewed
+hot-key variant. Pure numpy; same seed => byte-identical tables.
+
+This is the new engine's analog of the reference's harvest fixtures
+(``src/test/resources/*.xml`` one-doc golden files) scaled to a feed: the
+event envelope mirrors ``avro/OriginalRecord.avsc:1-16`` (id/ingestDate/
+provider/document -> doc_id/seq/source/tokens) and the op set mirrors the
+merge classification {insert, update, delete} (``utils/NaraMergeUtil.scala:
+246-264``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SOURCES = ["cc", "books", "code", "wiki", "synth"]
+VOCAB = 50257
+MAX_LEN_DEFAULT = 512  # keep unit fixtures small; bench overrides
+
+
+def _tokens_arrays(rng: np.random.Generator, n: int, max_len: int):
+    """(lens:int64[n], list_array builder inputs) fully vectorized."""
+    lens = rng.integers(1, max_len + 1, size=n).astype(np.int64)
+    flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    return lens, offsets, flat
+
+
+def _doc_id_array(idx: np.ndarray) -> pa.Array:
+    """Vectorized 'doc-%08d' formatting via numpy char ops."""
+    # zfill(8) == f"doc-{i:08d}" (longer ids pass through unpadded)
+    return pa.array(np.char.add("doc-", np.char.zfill(idx.astype(np.uint64).astype("U20"), 8)))
+
+
+def make_corpus(n_docs: int, seed: int = 42, max_len: int = MAX_LEN_DEFAULT) -> pa.Table:
+    """Base table ``(doc_id, tokens, n_tok, source)``; doc-{i:08d} keys."""
+    rng = np.random.default_rng(seed)
+    lens, offsets, flat = _tokens_arrays(rng, n_docs, max_len)
+    src = rng.choice(len(SOURCES), size=n_docs)
+    return pa.table(
+        {
+            "doc_id": _doc_id_array(np.arange(n_docs, dtype=np.int64)),
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array(np.array(SOURCES)[src]),
+        }
+    )
+
+
+def make_events(
+    n_events: int,
+    n_base_docs: int,
+    seed: int = 42,
+    n_parts: int = 8,
+    max_len: int = MAX_LEN_DEFAULT,
+    start_seq: int = 1,
+    op_weights: tuple[float, float, float] = (0.3, 0.6, 0.1),
+    dup_rate: float = 0.01,
+    bad_ntok_rate: float = 0.02,
+    null_tokens_rate: float = 0.005,
+    invalid_delete_rate: float = 0.005,
+    skew: bool = False,
+    zipf_s: float = 1.2,
+    shuffle: bool = True,
+) -> pa.Table:
+    """CDC feed ``(seq, part, op, doc_id, tokens, n_tok, source, ts)``.
+
+    ``seq`` is strictly increasing per part and ``(part, seq)`` is unique;
+    the global truth order is ``(seq, part)``. ``bad_ntok_rate`` rows carry a
+    wrong n_tok (engine must recompute: warn); ``null_tokens_rate``
+    insert/update rows carry null tokens (engine must route to the error
+    table); ``invalid_delete_rate`` deletes target never-seen doc_ids.
+    ``dup_rate`` rows are exact re-deliveries appended at the end.
+    """
+    rng = np.random.default_rng(seed + 1)
+    ops = rng.choice(3, size=n_events, p=list(op_weights))  # 0=ins 1=upd 2=del
+
+    # target doc ids (vectorized): inserts allocate fresh ids above the base
+    # range (id = n_base + #inserts-before); updates/deletes draw uniformly
+    # (or Zipf-skewed) from the currently-live id range [0, n_base + #inserts).
+    is_ins = ops == 0
+    ins_before = np.cumsum(is_ins) - is_ins  # inserts strictly before i
+    hi = np.maximum(n_base_docs + ins_before, 1)
+    u = rng.random(n_events)
+    if skew:
+        zipf_draw = rng.zipf(zipf_s, size=n_events).astype(np.int64)
+        target = np.minimum(zipf_draw - 1, hi - 1)
+    else:
+        target = (u * hi).astype(np.int64)
+    doc_idx = np.where(is_ins, n_base_docs + ins_before, target).astype(np.int64)
+    # invalid deletes: retarget some deletes at ids that never exist
+    inv_del = (ops == 2) & (rng.random(n_events) < invalid_delete_rate)
+    doc_idx[inv_del] = 10_000_000_000 + rng.integers(0, 1 << 30, size=int(inv_del.sum()))
+
+    parts = rng.integers(0, n_parts, size=n_events).astype(np.int32)
+    # seq = global position: strictly increasing within every part, (part,
+    # seq) globally unique.
+    seqs = np.arange(start_seq, start_seq + n_events, dtype=np.int64)
+
+    lens, offsets, flat = _tokens_arrays(rng, n_events, max_len)
+    nulls = rng.random(n_events) < null_tokens_rate
+    bad_ntok = rng.random(n_events) < bad_ntok_rate
+    src = rng.choice(len(SOURCES), size=n_events)
+
+    payload_null = (ops == 2) | nulls  # tokens/n_tok null on delete or seeded-bad
+    ntok = lens.astype(np.int64) + np.where(bad_ntok, rng.integers(1, 7, size=n_events), 0)
+    op_names = np.array(["insert", "update", "delete"])
+
+    tokens_arr = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat), mask=pa.array(payload_null)
+    )
+    base_ts = np.int64(1_700_000_000) * 1_000_000
+    tbl = pa.table(
+        {
+            "seq": pa.array(seqs, pa.int64()),
+            "part": pa.array(parts, pa.int32()),
+            "op": pa.array(op_names[ops]),
+            "doc_id": _doc_id_array(doc_idx),
+            "tokens": tokens_arr,
+            "n_tok": pa.array(np.where(payload_null, 0, ntok).astype(np.int32),
+                              mask=payload_null),
+            "source": pa.array(np.array(SOURCES)[src], mask=(ops == 2)),
+            "ts": pa.array(base_ts + seqs * 1_000_000, pa.timestamp("us")),
+        }
+    )
+
+    # exact duplicate re-deliveries (same (part, seq) rows appended)
+    n_dup = int(n_events * dup_rate)
+    if n_dup:
+        idx = rng.integers(0, n_events, size=n_dup)
+        tbl = pa.concat_tables([tbl, tbl.take(pa.array(idx))])
+
+    if shuffle:
+        order = rng.permutation(tbl.num_rows)
+        tbl = tbl.take(pa.array(order))
+    return tbl
+
+
+def write_fixture(path: str, tbl: pa.Table) -> str:
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)
+    return path

@@ -1,0 +1,479 @@
+"""Iceberg-style snapshot table over parquet ("LakeTable").
+
+The target environment has no Iceberg runtime jar, so the engine ships its
+own minimal Iceberg-like table format with the four properties the CDC
+engine needs (SURVEY.md §7.1):
+
+* **atomic snapshot commits** — data files are written first, then a new
+  metadata version is published with a single atomic ``os.replace`` of the
+  ``_current`` pointer. A crash mid-merge leaves the previous snapshot
+  intact (replaces the reference's full-output ``SaveMode.Overwrite``
+  strategy, ``utils/NaraMergeUtil.scala:131,181``).
+* **exactly-once checkpointing** — per-partition applied offsets and
+  lineage/metrics rows are embedded in the snapshot commit itself, so the
+  MERGE, the checkpoint, and the ops-log land in ONE atomic transaction
+  (the reference's ``_MANIFEST``/``_SUMMARY`` side files,
+  ``dataStorage/OutputHelper.scala:62-73``, are not transactional).
+* **bucket partitioning + file pruning** — data is laid out as
+  ``bucket(num_buckets, doc_id)`` directories; a MERGE only reads and
+  rewrites the buckets its delta touches (copy-on-write at bucket/file
+  granularity). The manifest carries per-file row counts and bucket ids.
+* **schema evolution by field-id** — add / rename / widen are metadata
+  transactions; old data files are mapped to the current schema on read
+  (rename via field-id indirection, widen via cast, add via null fill) —
+  the engine's replacement for the reference's retcon remapping
+  (``mappers/providers/JsonRetconMapping.scala:30-100``).
+
+On a real cluster the same engine API binds to actual Iceberg
+(``MERGE INTO`` + ``ALTER TABLE``); this module is the sandbox/local
+implementation of the contract. Scale notes: snapshots store file lists in
+per-snapshot manifest JSONs (not inline in table metadata), and reads use
+explicit file lists grouped by write-batch so Spark's parquet reader sees
+one listing per batch directory with partition-column (``__bucket``)
+pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMAT_VERSION = 1
+
+# type widening lattice (Iceberg-compatible promotions)
+_WIDEN_OK = {
+    ("int", "bigint"),
+    ("float", "double"),
+    ("array<int>", "array<bigint>"),
+}
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str  # spark sql ddl type string, e.g. "string", "array<int>"
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type}
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(d["id"], d["name"], d["type"])
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    schema_version: int
+    batch_dir: str  # relative dir the file was written under
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "schema_version": self.schema_version,
+            "batch_dir": self.batch_dir,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["bucket"], d["rows"], d["schema_version"], d["batch_dir"])
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str  # append | merge | delete | replace | evolve-schema
+    manifest_path: str  # relative path of the manifest json listing live files
+    summary: dict = field(default_factory=dict)
+    checkpoint: dict = field(default_factory=dict)  # {part(str): applied_seq(int)}
+    batch_id: int | None = None
+    lineage: list = field(default_factory=list)  # list of per-part metric dicts
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "operation": self.operation,
+            "manifest_path": self.manifest_path,
+            "summary": self.summary,
+            "checkpoint": self.checkpoint,
+            "batch_id": self.batch_id,
+            "lineage": self.lineage,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"], d["parent_id"], d["operation"], d["manifest_path"],
+            d.get("summary", {}), d.get("checkpoint", {}), d.get("batch_id"),
+            d.get("lineage", []),
+        )
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table between our read and our commit."""
+
+
+class LakeTable:
+    """A snapshot-isolated, bucket-partitioned parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+        self._meta: dict = {}
+        self._load_meta()
+
+    # ---------------------------------------------------------------- create
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: list[Field],
+        num_buckets: int = 16,
+        key_column: str = "doc_id",
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        meta_dir = os.path.join(path, "metadata")
+        if os.path.exists(os.path.join(meta_dir, "_current")):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "table_uuid": uuid.uuid4().hex,
+            "key_column": key_column,
+            "num_buckets": num_buckets,
+            "schema_version": 1,
+            # field-id based schemas; per-version physical name/type mapping
+            "schemas": {"1": [f.to_json() for f in schema]},
+            "current_snapshot_id": None,
+            "snapshots": [],
+            "version": 1,
+            "last_field_id": max(f.id for f in schema),
+        }
+        _atomic_write(os.path.join(meta_dir, "v1.metadata.json"), json.dumps(meta, indent=1))
+        _atomic_write(os.path.join(meta_dir, "_current"), "v1.metadata.json")
+        return LakeTable(spark, path)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        return LakeTable(spark, path)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), "metadata", "_current"))
+
+    def _load_meta(self) -> None:
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            current = f.read().strip()
+        with open(os.path.join(self.meta_dir, current)) as f:
+            self._meta = json.load(f)
+        self._current_file = current
+
+    # ------------------------------------------------------------ properties
+    @property
+    def key_column(self) -> str:
+        return self._meta["key_column"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self._meta["num_buckets"]
+
+    @property
+    def schema_version(self) -> int:
+        return self._meta["schema_version"]
+
+    def fields(self, version: int | None = None) -> list[Field]:
+        v = str(version or self.schema_version)
+        return [Field.from_json(d) for d in self._meta["schemas"][v]]
+
+    def column_names(self) -> list[str]:
+        return [f.name for f in self.fields()]
+
+    @property
+    def current_snapshot(self) -> Snapshot | None:
+        sid = self._meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        for s in self._meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return Snapshot.from_json(s)
+        raise RuntimeError(f"current snapshot {sid} missing from log")
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self._meta["snapshots"]]
+
+    def checkpoint(self) -> dict[int, int]:
+        """Per-part applied sequence numbers as of the current snapshot."""
+        snap = self.current_snapshot
+        if snap is None:
+            return {}
+        return {int(k): int(v) for k, v in snap.checkpoint.items()}
+
+    def live_files(self, snapshot_id: int | None = None) -> list[FileEntry]:
+        snap = self.current_snapshot if snapshot_id is None else next(
+            s for s in self.snapshots() if s.snapshot_id == snapshot_id
+        )
+        if snap is None:
+            return []
+        with open(os.path.join(self.path, snap.manifest_path)) as f:
+            return [FileEntry.from_json(d) for d in json.load(f)["files"]]
+
+    # ---------------------------------------------------------------- bucket
+    def bucket_expr(self, col: str | None = None):
+        """Deterministic bucket id for a key value: pmod(xxhash64(key), N).
+
+        The same expression partitions both the table layout and every
+        merge shuffle, so delta and base co-locate without extra exchange.
+        """
+        c = F.col(col or self.key_column)
+        return F.pmod(F.xxhash64(c.cast("string")), F.lit(self.num_buckets)).cast("int")
+
+    # ----------------------------------------------------------------- write
+    def write_files(self, df: DataFrame, schema_version: int | None = None) -> list[FileEntry]:
+        """Write df (current-schema columns) as bucket-partitioned parquet.
+
+        Returns manifest entries; does NOT commit. The df is repartitioned
+        by bucket so each shuffle partition writes exactly one bucket dir —
+        at cluster scale this is the single co-locating exchange of the
+        merge, sized by AQE.
+        """
+        sv = schema_version or self.schema_version
+        cols = [f.name for f in self.fields(sv)]
+        batch_rel = os.path.join("data", f"batch-{uuid.uuid4().hex[:12]}")
+        out_dir = os.path.join(self.path, batch_rel)
+        (
+            df.select(*cols)
+            .withColumn("__bucket", self.bucket_expr())
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("error")
+            .parquet(out_dir)
+        )
+        return self._scan_batch_dir(batch_rel, sv)
+
+    def _scan_batch_dir(self, batch_rel: str, schema_version: int) -> list[FileEntry]:
+        entries: list[FileEntry] = []
+        out_dir = os.path.join(self.path, batch_rel)
+        for root, _dirs, files in os.walk(out_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                bucket_part = [p for p in rel.split(os.sep) if p.startswith("__bucket=")]
+                bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
+                rows = pq.read_metadata(full).num_rows
+                entries.append(FileEntry(rel, bucket, rows, schema_version, batch_rel))
+        return entries
+
+    # ---------------------------------------------------------------- commit
+    def commit(
+        self,
+        operation: str,
+        add_files: list[FileEntry] | None = None,
+        remove_paths: set[str] | None = None,
+        checkpoint: dict[int, int] | None = None,
+        batch_id: int | None = None,
+        lineage: list[dict] | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Publish a new snapshot atomically (optimistic, single pointer swap)."""
+        prev = self.current_snapshot
+        live = {e.path: e for e in (self.live_files() if prev else [])}
+        for p in remove_paths or set():
+            live.pop(p, None)
+        for e in add_files or []:
+            live[e.path] = e
+        sid = (prev.snapshot_id + 1) if prev else 1
+        manifest_rel = os.path.join("metadata", f"snap-{sid}-{uuid.uuid4().hex[:8]}.json")
+        _atomic_write(
+            os.path.join(self.path, manifest_rel),
+            json.dumps({"files": [e.to_json() for e in live.values()]}),
+        )
+        # carry forward the checkpoint, merging in any new offsets
+        ckpt = dict(prev.checkpoint) if prev else {}
+        for k, v in (checkpoint or {}).items():
+            ckpt[str(k)] = int(v)
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=prev.snapshot_id if prev else None,
+            operation=operation,
+            manifest_path=manifest_rel,
+            summary=summary or {},
+            checkpoint=ckpt,
+            batch_id=batch_id,
+            lineage=lineage or [],
+        )
+        new_meta = dict(self._meta)
+        new_meta["snapshots"] = self._meta["snapshots"] + [snap.to_json()]
+        new_meta["current_snapshot_id"] = sid
+        new_meta["version"] = self._meta["version"] + 1
+        self._publish(new_meta)
+        return snap
+
+    def _publish(self, new_meta: dict) -> None:
+        """Optimistic-concurrency publish: re-check the pointer, then swap."""
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            if f.read().strip() != self._current_file:
+                raise CommitConflict(f"table {self.path} advanced concurrently")
+        fname = f"v{new_meta['version']}.metadata.json"
+        _atomic_write(os.path.join(self.meta_dir, fname), json.dumps(new_meta, indent=1))
+        _atomic_write(os.path.join(self.meta_dir, "_current"), fname)
+        self._meta = new_meta
+        self._current_file = fname
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        buckets: set[int] | None = None,
+        snapshot_id: int | None = None,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """Read live data mapped to the current schema.
+
+        ``buckets`` prunes at the manifest level (only matching files are
+        listed) AND via the ``__bucket`` partition column, so a merge that
+        touches 3 of 1024 buckets reads 3/1024ths of the data.
+        """
+        files = self.live_files(snapshot_id)
+        if buckets is not None:
+            files = [e for e in files if e.bucket in buckets]
+        cur_fields = self.fields()
+        if not files:
+            ddl = ", ".join(f"`{f.name}` {f.type}" for f in cur_fields)
+            if with_bucket_col:
+                ddl += ", `__bucket` int"
+            return self.spark.createDataFrame([], schema=ddl)
+
+        # group by (schema_version, batch_dir): one parquet listing per batch
+        groups: dict[tuple[int, str], list[FileEntry]] = {}
+        for e in files:
+            groups.setdefault((e.schema_version, e.batch_dir), []).append(e)
+        parts: list[DataFrame] = []
+        for (sv, batch_dir), entries in sorted(groups.items()):
+            base = os.path.join(self.path, batch_dir)
+            paths = [os.path.join(self.path, e.path) for e in entries]
+            df = self.spark.read.option("basePath", base).parquet(*paths)
+            df = self._map_to_current(df, sv, cur_fields)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not with_bucket_col:
+            out = out.drop("__bucket")
+        return out
+
+    def _map_to_current(self, df: DataFrame, from_version: int, cur_fields: list[Field]) -> DataFrame:
+        """Field-id mapping: rename, cast (widen), null-fill added columns."""
+        old = {f.id: f for f in self.fields(from_version)}
+        cols = []
+        for f in cur_fields:
+            o = old.get(f.id)
+            if o is None:
+                cols.append(F.lit(None).cast(f.type).alias(f.name))
+            elif o.type != f.type:
+                cols.append(F.col(o.name).cast(f.type).alias(f.name))
+            else:
+                cols.append(F.col(o.name).alias(f.name))
+        cols.append(F.col("__bucket"))
+        return df.select(*cols)
+
+    # ------------------------------------------------------- schema evolution
+    def add_column(self, name: str, type_: str) -> None:
+        fields = self.fields()
+        if any(f.name == name for f in fields):
+            raise ValueError(f"column {name} already exists")
+        new_id = self._meta["last_field_id"] + 1
+        fields.append(Field(new_id, name, type_))
+        self._evolve(fields, last_field_id=new_id, op=f"add:{name}")
+
+    def rename_column(self, old: str, new: str) -> None:
+        fields = self.fields()
+        if not any(f.name == old for f in fields):
+            raise ValueError(f"no column {old}")
+        if any(f.name == new for f in fields):
+            raise ValueError(f"column {new} already exists")
+        for f in fields:
+            if f.name == old:
+                f.name = new
+        self._evolve(fields, op=f"rename:{old}->{new}")
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        fields = self.fields()
+        f = next((x for x in fields if x.name == name), None)
+        if f is None:
+            raise ValueError(f"no column {name}")
+        if f.type != new_type and (f.type, new_type) not in _WIDEN_OK:
+            raise ValueError(f"illegal promotion {f.type} -> {new_type}")
+        f.type = new_type
+        self._evolve(fields, op=f"widen:{name}->{new_type}")
+
+    def _evolve(self, new_fields: list[Field], last_field_id: int | None = None, op: str = "") -> None:
+        new_meta = dict(self._meta)
+        nv = self.schema_version + 1
+        schemas = dict(self._meta["schemas"])
+        schemas[str(nv)] = [f.to_json() for f in new_fields]
+        new_meta["schemas"] = schemas
+        new_meta["schema_version"] = nv
+        if last_field_id is not None:
+            new_meta["last_field_id"] = last_field_id
+        new_meta["version"] = self._meta["version"] + 1
+        self._publish(new_meta)
+        # schema changes are metadata-only transactions; record in snapshot log
+        self.commit(operation=f"evolve-schema[{op}]", summary={"schema_version": nv})
+
+    # ------------------------------------------------------------ maintenance
+    def vacuum(self) -> int:
+        """Delete data files not referenced by ANY snapshot manifest (orphans)."""
+        referenced: set[str] = set()
+        for snap in self.snapshots():
+            with open(os.path.join(self.path, snap.manifest_path)) as f:
+                for d in json.load(f)["files"]:
+                    referenced.add(d["path"])
+        removed = 0
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed += 1
+        # drop now-empty dirs
+        for root, dirs, files in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not files:
+                shutil.rmtree(root, ignore_errors=True)
+        return removed
+
+    def expire_snapshots(self, keep_last: int = 2) -> None:
+        snaps = self._meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return
+        new_meta = dict(self._meta)
+        new_meta["snapshots"] = snaps[-keep_last:]
+        new_meta["version"] = self._meta["version"] + 1
+        self._publish(new_meta)

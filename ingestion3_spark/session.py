@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the CDC/ingest engine.
+
+Replaces the reference's per-stage SparkConf setup (ingestion3
+``entries/ingest/IngestRemap.scala:84-89``, ``utils/NaraMergeUtil.scala:77-84``):
+Kryo tuning and fixed 400 shuffle partitions become AQE + Arrow; the
+reference's "vectorized parquet reader off" workaround (large XML strings,
+``IngestRemap.scala:88-89``) is unnecessary for ``tokens array<int32>``
+payloads, so the vectorized reader stays ON.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ingestion3-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores`` accepts an int (``local[N]``) or "*" — defaults to
+    ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle partitions default to the
+    core count: on a real cluster this would be sized to data volume
+    (~128MB/partition at 100TB => AQE coalesce from a high initial count).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        ncores = os.cpu_count() or 8 if cores in ("*",) else int(cores)
+        shuffle_partitions = max(int(ncores), 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
