@@ -1,0 +1,217 @@
+"""Document deduplication operators for the training-data pipeline.
+
+All distributed, expression-first implementations (no driver-side loops):
+
+- exact dedup           — hash-groupBy on a content fingerprint
+- n-gram Jaccard        — shingle explode + pair-join + set overlap
+- MinHash + LSH         — k permutations via xxhash64(seeded), banding,
+                          bucket self-join (candidate pairs without O(n^2))
+- SimHash               — bitwise majority of per-token hashes, hamming pairs
+
+The reference only dedups whole records by id (``utils/NaraMergeUtil.scala:
+129-135``) and per-field arrays (``enrichments/normalizations/
+Deduplication.scala:16-75``); near-dup detection is a new, scale-first
+capability of this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ingestion3_spark.functions.text import normalize_text, words
+
+
+# ------------------------------------------------------------------ exact
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fp, n_docs, doc_ids)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per fingerprint (deterministic winner)."""
+    fp = df.withColumn("_fp", F.md5(normalize_text(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------- shingles
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array (distinct)."""
+    ws = words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    return F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        ),
+    ).otherwise(F.array(F.array_join(ws, " ")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Exact but candidate-limited: pairs are generated ONLY for docs sharing at
+    least one shingle (explode + self-join on shingle, then intersection
+    counts via groupBy) — never a full cross join. At 100TB the shingle join
+    is the shuffle; shingle strings are replaced by xxhash64 values to keep
+    exchange rows narrow.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+def minhash_signature(col, num_hashes: int = 64, shingle_n: int = 3):
+    """MinHash signature: for seed i, min over shingles of xxhash64(shingle, i).
+
+    Seeded xxhash64 realizes the k independent permutations; all JVM-side.
+    """
+    sh = shingles(col, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on ALL rows of
+    at least one band. rows-per-band = num_hashes/bands; candidates are then
+    typically verified with `ngram_jaccard_pairs` or signature similarity.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(df_pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    a = sig_df.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig_df.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        df_pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda v: v)) / F.size("sig_a"),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash64(col, shingle_n: int = 2):
+    """64-bit SimHash: for each bit, majority vote of shingle-hash bits.
+
+    Expression-only: per bit b, count shingles whose hash has bit b set;
+    bit set in output iff count*2 > n_shingles.
+    """
+    sh = shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n = F.size(sh)
+
+    def bit_mask(b):  # JVM-side shift: bit 63 wraps to Long.MIN_VALUE safely
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    bits = [
+        (
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(bit_mask(b)) != 0)) * 2 > n
+        ).cast("long") * bit_mask(b)
+        for b in range(64)
+    ]
+    out = bits[0]
+    for bexpr in bits[1:]:
+        out = out + bexpr
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two hashes within hamming distance 3 agree on >=1 of 4
+    16-bit chunks — join on chunk, verify exact hamming via bit_count(xor).
+    """
+    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("h"))
+    chunks = h.select(
+        "id", "h",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("h", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", "h", "ck.chunk", "ck.key")
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,661 @@
+"""Driver-facing query registry: SURVEY.md §2 operator coverage.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+(DuckDB) over the same parquet tables. Column names/aliases are identical on
+both sides (the driver hashes values after sorting columns by name).
+
+Entries marked NO_ORACLE are genuinely non-SQL-expressible here (seeded
+xxhash64-based sketches whose hash function DuckDB does not share); the
+driver records a rows-only check for them.
+
+Operator coverage map (reference op -> entry):
+  A6/W1  last-event-wins dedup        cdc_last_event_wins
+  J1-J3  merge classify/upsert        cdc_merge_classify
+  A5     HAVING dup-count             cdc_duplicate_events
+  A2/A3  groupBy count ordered        cdc_ops_log
+  S7     checkpoint offsets           cdc_checkpoint_offsets
+  W1     sessionize (gap windows)     cdc_sessionize
+  P4/J2  semi-join                    cdc_error_users
+  P4/J1  anti-join                    cdc_signup_no_purchase
+  A1-A7  TPC-H Q1 aggregate           q1_pricing_summary
+  J*     3-way join + agg             q3_revenue_by_order
+  J*     5-way join                   q5_nation_revenue
+  J4-J6  broadcast dim join           seg_broadcast_agg
+  A11    rollup                       rollup_lineitem
+  W1     running total                window_running_total
+  W3     top-k per group              topk_orders_per_cust
+  U1/U2  intersect                    nations_both_sides
+  E1/E2  json extract + agg           props_k_distribution
+  --     pivot                        orders_pivot
+  §2.8   text kernels                 doc_stats, doc_fingerprint, lang_id
+  dedup  exact dup groups             doc_exact_dups
+  dedup  n-gram jaccard               doc_jaccard_pairs
+  dedup  minhash LSH                  doc_minhash_pairs (NO_ORACLE)
+  dedup  simhash                      doc_simhash_pairs (NO_ORACLE)
+  ANN    brute-force cosine top-k     knn_topk
+  ANN    LSH bucketed top-k           ann_lsh_topk (NO_ORACLE)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ingestion3_spark.functions import dedupe, similarity, text
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+MID = "2024-01-16"  # events feed half-way split for the CDC-style queries
+
+
+def fixed(col, scale: int = 100):
+    """Exact fixed-point: per-row ROUND(x*scale) as int64.
+
+    Double SUMs are order-dependent (non-associative IEEE adds) and differ
+    between engines by ULPs, which flips ROUND() at .5 boundaries. Per-row
+    fixed-point is computed identically in both engines, and the int64 SUM
+    is exact — so aggregate money/ratio results are bit-stable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).cast("long")
+
+
+# --------------------------------------------------------------- CDC-shaped
+def q_cdc_last_event_wins(spark, sf):
+    """Deterministic last-event-wins dedup by (ts, event_id) — the engine's
+    exactly-once core (cdc/dedup.py) expressed over the driver feed."""
+    ev = load(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value", "event_id"),
+            F.struct("ts", "event_id"),
+        ).alias("w")
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.event_type").alias("last_type"),
+        F.round(F.col("w.value"), 2).alias("last_value"),
+        F.col("w.event_id").alias("last_event_id"),
+    )
+
+
+SQL_cdc_last_event_wins = f"""
+SELECT user_id, event_type AS last_type, ROUND(value, 2) AS last_value,
+       event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_merge_classify(spark, sf):
+    """MERGE classification insert/update/delete/invalid_delete
+    (NaraMergeUtil.scala:242-266 semantics as pure joins)."""
+    ev = load(spark, sf, "events")
+    base = ev.filter(F.col("ts") < MID).select("user_id").distinct()
+    delta_last = (
+        ev.filter(F.col("ts") >= MID)
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"))
+        .withColumn("op", F.when(F.col("last_type") == "error", "delete").otherwise("upsert"))
+    )
+    m = delta_last.join(base.withColumn("_in_base", F.lit(1)), "user_id", "left")
+    return m.select(
+        "user_id",
+        F.when((F.col("op") == "delete") & F.col("_in_base").isNotNull(), "delete")
+        .when(F.col("op") == "delete", "invalid_delete")
+        .when(F.col("_in_base").isNotNull(), "update")
+        .otherwise("insert")
+        .alias("action"),
+    )
+
+
+SQL_cdc_merge_classify = f"""
+WITH base AS (SELECT DISTINCT user_id FROM events WHERE ts < '{MID}'),
+delta AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= '{MID}'
+  ) WHERE rn = 1
+)
+SELECT d.user_id,
+       CASE WHEN d.op = 'delete' AND b.user_id IS NOT NULL THEN 'delete'
+            WHEN d.op = 'delete' THEN 'invalid_delete'
+            WHEN b.user_id IS NOT NULL THEN 'update'
+            ELSE 'insert' END AS action
+FROM delta d LEFT JOIN base b USING (user_id)
+"""
+
+
+def q_cdc_duplicate_events(spark, sf):
+    """HAVING-style duplicate detection (NaraMergeUtil.scala:401-410)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+SQL_cdc_duplicate_events = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+"""
+
+
+def q_cdc_ops_log(spark, sf):
+    """Ops-log summary: per-op counts + value totals (MergeLogs analog)."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(fixed("value")) / 100.0).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_cdc_ops_log = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_cdc_checkpoint_offsets(spark, sf):
+    """Per-partition applied-offset computation (checkpoint table shape)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn("part", (F.col("user_id") % 4).cast("int"))
+        .groupBy("part")
+        .agg(F.max("event_id").alias("applied_seq"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_cdc_checkpoint_offsets = """
+SELECT CAST(user_id % 4 AS INT) AS part, MAX(event_id) AS applied_seq,
+       COUNT(*) AS n_events
+FROM events GROUP BY CAST(user_id % 4 AS INT)
+"""
+
+
+def q_cdc_sessionize(spark, sf):
+    """Gap-based sessionization (30 min) via lag + cumulative sum window."""
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_cdc_sessionize = """
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+) GROUP BY user_id
+"""
+
+
+def q_cdc_error_users(spark, sf):
+    """Semi-join: users having >=1 error event (P4 broadcast-set filter as a
+    real left_semi, NaraMergeUtil.scala:160-166)."""
+    ev = load(spark, sf, "events")
+    errs = ev.filter(F.col("event_type") == "error").select("user_id")
+    return ev.select("user_id").distinct().join(errs, "user_id", "left_semi")
+
+
+SQL_cdc_error_users = """
+SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = u.user_id AND e.event_type = 'error')
+"""
+
+
+def q_cdc_signup_no_purchase(spark, sf):
+    """Anti-join: signed-up users with no purchase (delta∖base pattern)."""
+    ev = load(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return signups.join(buyers, "user_id", "left_anti")
+
+
+SQL_cdc_signup_no_purchase = """
+SELECT DISTINCT user_id FROM events e WHERE event_type = 'signup'
+AND NOT EXISTS (SELECT 1 FROM events p WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+"""
+
+
+# ------------------------------------------------------------------- TPC-H
+def q_q1_pricing_summary(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(fixed("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(fixed("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)) / 10000.0).alias("sum_disc_price"),
+            F.round(F.sum(fixed("l_quantity")) / 100.0 / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(fixed("l_discount", 10000)) / 10000.0 / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_q1_pricing_summary = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) / 10000.0 / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_revenue_by_order(spark, sf):
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg((F.sum(fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)) / 10000.0).alias("revenue"))
+    )
+
+
+SQL_q3_revenue_by_order = """
+SELECT l_orderkey, SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+"""
+
+
+def q_q5_nation_revenue(spark, sf):
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_q5_nation_revenue = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_seg_broadcast_agg(spark, sf):
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), (F.sum(fixed("o_totalprice")) / 100.0).alias("total"))
+    )
+
+
+SQL_seg_broadcast_agg = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_lineitem(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.sum(fixed("l_quantity")) / 100.0).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+SQL_rollup_lineitem = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_window_running_total(spark, sf):
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(fixed("o_totalprice")).over(w) / 100.0).alias("running_total"),
+    )
+
+
+SQL_window_running_total = """
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) / 100.0 AS running_total
+FROM orders
+"""
+
+
+def q_topk_orders_per_cust(spark, sf):
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank")
+    )
+
+
+SQL_topk_orders_per_cust = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_nations_both_sides(spark, sf):
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_nations_both_sides = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_props_k_distribution(spark, sf):
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_props_k_distribution = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_orders_pivot(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+SQL_orders_pivot = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------------- text pipeline
+def q_doc_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.word_count("text").alias("n_words"),
+        text.token_count("text").alias("n_tokens"),
+        text.stopword_hits("text").alias("en_stopwords"),
+    )
+
+
+SQL_doc_stats = rf"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+  len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS n_tokens,
+  len(list_filter(
+        list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        x -> list_contains({text.STOPWORDS['en']}, lower(x)))) AS en_stopwords
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+SQL_doc_fingerprint = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.predict_lang("text").alias("pred_lang"))
+
+
+def _sql_lang_score(lang: str) -> str:
+    sw = text.STOPWORDS[lang]
+    return (
+        f"CASE WHEN len(ws) > 0 THEN len(list_filter(ws, x -> list_contains({sw}, lower(x))))"
+        f" / CAST(len(ws) AS DOUBLE) ELSE 0.0 END"
+    )
+
+
+SQL_lang_id = rf"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    {_sql_lang_score('en')} AS s_en, {_sql_lang_score('de')} AS s_de,
+    {_sql_lang_score('fr')} AS s_fr, {_sql_lang_score('es')} AS s_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) < 0.03 THEN 'und'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       ELSE 'de' END AS pred_lang
+FROM s
+"""
+
+
+def q_doc_exact_dups(spark, sf):
+    d = load(spark, sf, "documents")
+    return dedupe.exact_dup_groups(d).select("fp", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
+
+
+SQL_doc_exact_dups = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       COUNT(*) AS n_docs,
+       list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_doc_jaccard_pairs(spark, sf):
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.normalize_text("text").alias("text")
+    )
+    return dedupe.ngram_jaccard_pairs(d, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_doc_jaccard_pairs = r"""
+WITH norm AS (
+  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         ELSE [array_to_string(ws, ' ')] END)) AS shingle
+  FROM norm
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+JOIN sizes sb ON pairs.id_b = sb.doc_id
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_doc_minhash_pairs(spark, sf):
+    """NO_ORACLE: seeded xxhash64 signatures (not reproducible in DuckDB)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.normalize_text("text").alias("text")
+    )
+    return dedupe.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+
+
+def q_doc_simhash_pairs(spark, sf):
+    """NO_ORACLE: seeded xxhash64 bit votes (not reproducible in DuckDB)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.normalize_text("text").alias("text")
+    )
+    return dedupe.simhash_near_pairs(d, max_hamming=8)
+
+
+# ------------------------------------------------------------- similarity
+def _query_vectors(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def q_knn_topk(spark, sf):
+    e = load(spark, sf, "embeddings")
+    out = similarity.brute_force_topk(e, _query_vectors(spark, sf), k=10)
+    return out.select("qid", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+SQL_knn_topk = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+flat AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), qflat AS (
+  SELECT qid, unnest(qvec) AS v, generate_subscripts(qvec, 1) AS i FROM q
+), dots AS (
+  SELECT f.vec_id, qf.qid,
+         SUM(CAST(f.v AS DOUBLE) * CAST(qf.v AS DOUBLE)) AS dp,
+         SUM(CAST(f.v AS DOUBLE) * CAST(f.v AS DOUBLE)) AS na,
+         SUM(CAST(qf.v AS DOUBLE) * CAST(qf.v AS DOUBLE)) AS nb
+  FROM flat f JOIN qflat qf ON f.i = qf.i
+  WHERE f.vec_id <> qf.qid
+  GROUP BY f.vec_id, qf.qid
+), scored AS (
+  SELECT qid, vec_id, dp / (sqrt(na) * sqrt(nb)) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+  FROM dots
+)
+SELECT qid, vec_id, rank, ROUND(cos, 6) AS cos FROM scored WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    """NO_ORACLE: random-hyperplane LSH (numpy-seeded planes)."""
+    e = load(spark, sf, "embeddings")
+    planes = similarity.hyperplanes(64, 8, seed=42)
+    out = similarity.lsh_topk(e, _query_vectors(spark, sf), planes, k=10)
+    return out.select("qid", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------- registry
+QUERIES: dict[str, callable] = {
+    "cdc_last_event_wins": q_cdc_last_event_wins,
+    "cdc_merge_classify": q_cdc_merge_classify,
+    "cdc_duplicate_events": q_cdc_duplicate_events,
+    "cdc_ops_log": q_cdc_ops_log,
+    "cdc_checkpoint_offsets": q_cdc_checkpoint_offsets,
+    "cdc_sessionize": q_cdc_sessionize,
+    "cdc_error_users": q_cdc_error_users,
+    "cdc_signup_no_purchase": q_cdc_signup_no_purchase,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_revenue_by_order": q_q3_revenue_by_order,
+    "q5_nation_revenue": q_q5_nation_revenue,
+    "seg_broadcast_agg": q_seg_broadcast_agg,
+    "rollup_lineitem": q_rollup_lineitem,
+    "window_running_total": q_window_running_total,
+    "topk_orders_per_cust": q_topk_orders_per_cust,
+    "nations_both_sides": q_nations_both_sides,
+    "props_k_distribution": q_props_k_distribution,
+    "orders_pivot": q_orders_pivot,
+    "doc_stats": q_doc_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "doc_exact_dups": q_doc_exact_dups,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "knn_topk": q_knn_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    name: g
+    for name, g in (
+        (n, globals().get(f"SQL_{n}")) for n in QUERIES
+    )
+    if g is not None
+}
