@@ -142,8 +142,14 @@ def make_events(
     return tbl
 
 
-def write_fixture(path: str, tbl: pa.Table) -> str:
+def write_fixture(path: str, tbl: pa.Table, row_group_size: int = 65536) -> str:
+    """Write a fixture parquet with SMALL row groups.
+
+    Spark parallelizes a parquet scan at row-group granularity; pyarrow's
+    default (1M rows/group) caps a 2M-row feed at 2-way read parallelism.
+    64k-row groups let a 32-core local run actually fan out.
+    """
     import pyarrow.parquet as pq
 
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, row_group_size=row_group_size)
     return path

@@ -53,6 +53,8 @@ def merge_batch(
     batch_id: int,
     checkpoint: dict[int, int],
     extra_lineage: dict[tuple, dict] | None = None,
+    clean_count: int | None = None,
+    touched_buckets: set[int] | None = None,
 ) -> MergeResult:
     """Apply deduped per-key changes to the table in one transaction.
 
@@ -67,11 +69,32 @@ def merge_batch(
 
     # bound work to touched buckets: distinct bucket ids of the delta keys
     # (<= num_buckets values; aggregate, never a key collect)
+    import os as _os
+    import time as _time
+    debug = _os.environ.get("I3S_DEBUG_TIMING") == "1"
+    _tm = _time.perf_counter()
+
+    def _t(label):
+        nonlocal _tm
+        if debug:
+            now = _time.perf_counter()
+            print(f"[timing]   merge {label}: {now - _tm:.2f}s", flush=True)
+            _tm = now
+
+    # DISK_ONLY, deliberately: the delta is read twice (classify agg + COW
+    # write). An in-memory columnar cache of wide token arrays is expensive
+    # to build and churns the allocator; a sequential disk spill is written
+    # once and served from page cache (the reference's temp-file strategy,
+    # NaraMergeUtil.scala:127-136, kept for the same reason).
     delta = changes.withColumn("__bucket", table.bucket_expr()).persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.DISK_ONLY
     )
     try:
-        touched = {r["__bucket"] for r in delta.select("__bucket").distinct().collect()}
+        if touched_buckets is None:
+            touched = {r["__bucket"] for r in delta.select("__bucket").distinct().collect()}
+        else:
+            touched = {b for b in touched_buckets if 0 <= b < table.num_buckets}
+        _t("delta_persist_buckets")
         base = table.read(buckets=touched, with_bucket_col=True)
 
         base_keys = base.select(F.col(key), F.lit(True).alias("_matched"))
@@ -97,6 +120,7 @@ def merge_batch(
             )
             .collect()
         )
+        _t("classify_agg")
         lineage_rows = {}
         for r in agg:
             p = int(r["part"]) if r["part"] is not None else -1
@@ -110,6 +134,17 @@ def merge_batch(
                 "dedup_dropped": 0,
                 "errors": 0,
             }
+        if clean_count is not None:
+            # dedup_dropped = clean deliveries minus surviving changes —
+            # derived from the classify agg, no extra Spark job
+            post = sum(
+                r["inserts"] + r["updates"] + r["deletes"] + r["invalid_deletes"]
+                for r in lineage_rows.values()
+            )
+            if clean_count - post:
+                extra_lineage = dict(extra_lineage or {})
+                e = extra_lineage.setdefault((batch_id, -1), {})
+                e["dedup_dropped"] = e.get("dedup_dropped", 0) + (clean_count - post)
         for k, extra in (extra_lineage or {}).items():
             row = lineage_rows.setdefault(
                 k,
@@ -131,6 +166,7 @@ def merge_batch(
         rows_before_total = sum(e.rows for e in table.live_files())
         touched_files = [e for e in table.live_files() if e.bucket in touched]
         new_files = table.write_files(new_data) if touched else []
+        _t("cow_write")
 
         counts = {
             "inserts": sum(r["inserts"] for r in lineage_rows.values()),

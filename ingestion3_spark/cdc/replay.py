@@ -65,6 +65,7 @@ class ReplayEngine:
     error_dir: str | None = None
     salted_dedup: bool = False
     salt_buckets: int = 32
+    persist_batches: bool = False
     history: list[BatchStats] = field(default_factory=list)
 
     @staticmethod
@@ -73,62 +74,112 @@ class ReplayEngine:
 
     # ------------------------------------------------------------- one batch
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchStats:
-        ckpt = self.table.checkpoint()
-        ev = dd.drop_applied(events, ckpt)
+        """Single-pass batch application.
 
-        # the committed offset advances over ALL delivered events in the
-        # batch (including errored ones — they consume their offsets)
-        offset_rows = ev.groupBy("part").agg(F.max("seq").alias("hi")).collect()
-        new_ckpt = dict(ckpt)
-        events_in = 0
-        for r in offset_rows:
-            new_ckpt[int(r["part"])] = max(int(r["hi"]), new_ckpt.get(int(r["part"]), -1))
-        if not offset_rows:
-            stats = BatchStats(batch_id, 0, 0, 0, None)
+        Action budget (the scale discipline — every Spark action is a full
+        job): ONE combined per-part stats aggregation over the persisted
+        validated chunk (offsets + delivered/error counts), one error-table
+        write (skipped when no errors), then the merge's classify agg +
+        data write. Counts that earlier versions computed with extra jobs
+        (pre/post dedup) are derived from the classify aggregation for free.
+        """
+        import time
+
+        from pyspark.storagelevel import StorageLevel
+
+        debug = os.environ.get("I3S_DEBUG_TIMING") == "1"
+        tmark = time.perf_counter()
+
+        def _t(label):
+            nonlocal tmark
+            if debug:
+                now = time.perf_counter()
+                print(f"[timing] batch={batch_id} {label}: {now - tmark:.2f}s", flush=True)
+                tmark = now
+
+        ckpt = self.table.checkpoint()
+        validated = val.validate_events(dd.drop_applied(events, ckpt))
+        # zero-persistence by default (the reference's strategy for wide
+        # payload rows, NaraMergeUtil.scala:99-117): validation is cheap
+        # vectorized expressions, so re-scanning the columnar source beats
+        # materializing a wide cache. persist_batches=True opts into
+        # caching for expensive upstream sources.
+        if self.persist_batches:
+            validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # one pass: per-part max seq (offset), delivered count, error count
+            # touched buckets ride along free: dedup preserves the key set,
+            # so buckets(clean events) == buckets(deduped delta), and the
+            # merge can skip its own distinct-buckets job
+            stats_rows = (
+                validated.groupBy("part")
+                .agg(
+                    F.max("seq").alias("hi"),
+                    F.count("*").alias("n"),
+                    F.sum(val.has_error().cast("long")).alias("n_err"),
+                    F.collect_set(
+                        F.when(~val.has_error(), self.table.bucket_expr())
+                    ).alias("buckets"),
+                )
+                .collect()
+            )
+            _t("stats_agg")
+            if not stats_rows:
+                stats = BatchStats(batch_id, 0, 0, 0, None)
+                self.history.append(stats)
+                return stats
+            new_ckpt = dict(ckpt)
+            events_in = n_err = 0
+            err_by_part: dict[tuple, dict] = {}
+            touched: set[int] = set()
+            for r in stats_rows:
+                p = int(r["part"])
+                new_ckpt[p] = max(int(r["hi"]), new_ckpt.get(p, -1))
+                events_in += int(r["n"])
+                touched.update(int(b) for b in r["buckets"])
+                if int(r["n_err"]):
+                    err_by_part[(batch_id, p)] = {"errors": int(r["n_err"])}
+                    n_err += int(r["n_err"])
+
+            if self.error_dir is not None and n_err:
+                # error table write (MessageCollector report analog);
+                # at-least-once — errors_df() dedups by (part, seq)
+                (
+                    validated.filter(val.has_error())
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .select("batch_id", "part", "seq", "doc_id", "op", "messages")
+                    .write.mode("append")
+                    .parquet(os.path.join(self.error_dir, "errors"))
+                )
+                _t("error_write")
+
+            clean = validated.filter(~val.has_error())
+            deduper = dd.latest_by_key_salted if self.salted_dedup else dd.latest_by_key
+            kwargs = {"salt_buckets": self.salt_buckets} if self.salted_dedup else {}
+            changes = deduper(
+                clean.select("doc_id", "op", "tokens", "n_tok", "source", "seq", "part"),
+                key="doc_id",
+                **kwargs,
+            )
+
+            result = merge_batch(
+                self.table,
+                changes,
+                batch_id=batch_id,
+                checkpoint=new_ckpt,
+                extra_lineage=err_by_part,
+                clean_count=events_in - n_err,
+                touched_buckets=touched,
+            )
+            _t("merge")
+            c = result.counts
+            post = c["inserts"] + c["updates"] + c["deletes"] + c["invalid_deletes"]
+            stats = BatchStats(batch_id, events_in, n_err, post, result)
             self.history.append(stats)
             return stats
-
-        validated = val.validate_events(ev)
-        clean, errored = val.split_errors(validated)
-
-        err_by_part: dict[tuple, dict] = {}
-        n_err = 0
-        if self.error_dir is not None:
-            # persist errors with batch id (MessageCollector report analog)
-            (
-                errored.withColumn("batch_id", F.lit(batch_id))
-                .select("batch_id", "part", "seq", "doc_id", "op", "messages")
-                .write.mode("append")
-                .parquet(os.path.join(self.error_dir, "errors"))
-            )
-        for r in errored.groupBy("part").agg(F.count("*").alias("n")).collect():
-            err_by_part[(batch_id, int(r["part"]))] = {"errors": int(r["n"])}
-            n_err += int(r["n"])
-
-        pre = clean.count()
-        deduper = dd.latest_by_key_salted if self.salted_dedup else dd.latest_by_key
-        kwargs = {"salt_buckets": self.salt_buckets} if self.salted_dedup else {}
-        changes = deduper(
-            clean.select("doc_id", "op", "tokens", "n_tok", "source", "seq", "part"),
-            key="doc_id",
-            **kwargs,
-        )
-        post = changes.count()
-        # dedup_dropped attributed to part -1 (cross-part by construction)
-        if pre - post:
-            err_by_part.setdefault((batch_id, -1), {})["dedup_dropped"] = pre - post
-
-        events_in = pre + n_err
-        result = merge_batch(
-            self.table,
-            changes,
-            batch_id=batch_id,
-            checkpoint=new_ckpt,
-            extra_lineage=err_by_part,
-        )
-        stats = BatchStats(batch_id, events_in, n_err, post, result)
-        self.history.append(stats)
-        return stats
+        finally:
+            if self.persist_batches:
+                validated.unpersist()
 
     # ------------------------------------------------------------ full replay
     def replay(

@@ -45,9 +45,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # modest heap by design: virtualized hosts fault-in heap pages
+        # lazily at ~1-2 GiB/s, so a huge heap means minutes of first-touch
+        # stalls spread across early jobs; 16g faults quickly and bounds the
+        # territory G1 churns through (override via SPARK_DRIVER_MEM)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.locality.wait", "0s")
+        # pin the JVM's internal pool sizing (GC/JIT threads) to the core
+        # count; detection is unreliable in virtualized sandboxes
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={os.cpu_count() if cores in ('*',) else cores}",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
