@@ -26,10 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
-CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "200000"))
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
+CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "500000"))
 CDC_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-WORK = os.environ.get("SPARK_GRAFT_WORK", "/tmp/i3s_bench")
+CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
+# tmpfs by default: the sandbox's single virtio disk saturates at ~8 cores
+# and hides CPU scaling; a real cluster has NVMe/distributed storage.
+WORK = os.environ.get(
+    "SPARK_GRAFT_WORK",
+    "/dev/shm/i3s_bench" if os.path.isdir("/dev/shm") else "/tmp/i3s_bench",
+)
 
 HEADLINE = [
     "cdc_last_event_wins",
@@ -53,16 +59,14 @@ HEADLINE = [
 
 
 def ensure_feed(path: str, n_events: int, n_base: int) -> str:
-    import pyarrow.parquet as pq
-
-    from ingestion3_spark.cdc.generator import make_events
+    from ingestion3_spark.cdc.generator import make_events, write_fixture
 
     feed = os.path.join(path, f"events_{n_events}_{n_base}.parquet")
     if not os.path.exists(feed):
         os.makedirs(path, exist_ok=True)
-        pq.write_table(
-            make_events(n_events, n_base_docs=n_base, seed=42, n_parts=32, max_len=128),
+        write_fixture(
             feed,
+            make_events(n_events, n_base_docs=n_base, seed=42, n_parts=32, max_len=128),
         )
     return feed
 
@@ -82,11 +86,11 @@ def run_queries() -> dict[str, float]:
     return times
 
 
-def run_replay(cores: int, feed: str, num_batches: int = 2) -> dict:
+def run_replay(cores: int, feed: str, num_batches: int = 1) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       "tools", "replay_bench.py"),
-         str(cores), feed, str(CDC_BASE), str(num_batches), WORK],
+         str(cores), feed, str(CDC_BASE), str(num_batches), WORK, str(CDC_REPS)],
         capture_output=True, text=True, check=True,
     )
     last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]

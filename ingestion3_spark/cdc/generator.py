@@ -142,6 +142,13 @@ def make_events(
     return tbl
 
 
+def to_spark(spark, tbl: pa.Table):
+    """Arrow table -> Spark DataFrame (forces the Arrow conversion path;
+    the plain inference path cannot handle ndarray cells)."""
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark.createDataFrame(tbl.to_pandas())
+
+
 def write_fixture(path: str, tbl: pa.Table, row_group_size: int = 65536) -> str:
     """Write a fixture parquet with SMALL row groups.
 

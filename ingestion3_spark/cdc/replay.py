@@ -97,6 +97,7 @@ class ReplayEngine:
                 print(f"[timing] batch={batch_id} {label}: {now - tmark:.2f}s", flush=True)
                 tmark = now
 
+        self.check_compat(events)
         ckpt = self.table.checkpoint()
         validated = val.validate_events(dd.drop_applied(events, ckpt))
         # zero-persistence by default (the reference's strategy for wide
@@ -156,9 +157,14 @@ class ReplayEngine:
             clean = validated.filter(~val.has_error())
             deduper = dd.latest_by_key_salted if self.salted_dedup else dd.latest_by_key
             kwargs = {"salt_buckets": self.salt_buckets} if self.salted_dedup else {}
+            # payload columns come from the TABLE's current schema (schema
+            # evolution: added/renamed columns flow once the metadata
+            # transaction has been applied)
+            key = self.table.key_column
+            payload = [c for c in self.table.column_names() if c != key]
             changes = deduper(
-                clean.select("doc_id", "op", "tokens", "n_tok", "source", "seq", "part"),
-                key="doc_id",
+                clean.select(key, "op", *payload, "seq", "part"),
+                key=key,
                 **kwargs,
             )
 
@@ -210,6 +216,25 @@ class ReplayEngine:
             out.append(self.apply_batch(chunk, batch_id=bid))
             bid += 1
         return out
+
+    def check_compat(self, events: DataFrame) -> None:
+        """Hard schema-compatibility gate before any merge.
+
+        The reference only WARNS on structural mismatch
+        (``harvesters/Harvester.scala`` validateSchema); replaying an
+        incompatible feed into a lake table must fail fast instead. Every
+        table payload column must be present in the feed (after any applied
+        rename/add metadata transaction) with a compatible type.
+        """
+        have = dict(events.dtypes)
+        missing = [c for c in self.table.column_names() if c not in have and c != self.table.key_column]
+        if self.table.key_column not in have:
+            raise ValueError(f"feed lacks key column {self.table.key_column!r}")
+        if missing:
+            raise ValueError(
+                f"feed is missing table columns {missing} — apply the schema "
+                f"evolution (add/rename) on the table before replaying, or fix the feed"
+            )
 
     def _next_batch_id(self) -> int:
         ids = [s.batch_id for s in self.table.snapshots() if s.batch_id is not None]

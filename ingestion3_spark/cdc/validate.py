@@ -32,7 +32,7 @@ def _msg(message, level, id_col, field, value, enriched):
     )
 
 
-def validate_events(df: DataFrame) -> DataFrame:
+def validate_events(df: DataFrame, payload_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Append ``messages`` and normalized payload columns.
 
     Checks (FIXTURES.md §4):
@@ -41,47 +41,57 @@ def validate_events(df: DataFrame) -> DataFrame:
     - INFO  ``payload on delete ignored``  — delete carrying a payload.
     Normalizations: ``n_tok`` recomputed from ``size(tokens)``; delete rows
     get null payload columns.
+
+    ``payload_cols`` defaults to every non-envelope column — schema
+    evolution (added/renamed payload columns) flows through untouched.
     """
+    envelope = {"seq", "part", "op", "doc_id", "ts", "messages"}
+    if payload_cols is None:
+        payload_cols = tuple(c for c in df.columns if c not in envelope)
+
     is_delete = F.col("op") == "delete"
     null_payload = F.col("tokens").isNull()
     true_ntok = F.size("tokens")
+    has_ntok = "n_tok" in df.columns
     ntok_bad = (~is_delete) & (~null_payload) & (
         F.col("n_tok").isNull() | (F.col("n_tok") != true_ntok)
-    )
-    payload_on_delete = is_delete & (
-        F.col("tokens").isNotNull() | F.col("n_tok").isNotNull() | F.col("source").isNotNull()
-    )
+    ) if has_ntok else F.lit(False)
+    payload_present = None
+    for c in payload_cols:
+        cond = F.col(c).isNotNull()
+        payload_present = cond if payload_present is None else (payload_present | cond)
+    payload_on_delete = is_delete & payload_present
 
-    messages = F.filter(
-        F.array(
-            F.when(
-                (~is_delete) & null_payload,
-                _msg("null tokens on non-delete", "error", "doc_id", "tokens",
-                     F.lit(""), F.lit("")),
-            ),
-            F.when(
-                ntok_bad,
-                _msg("n_tok mismatch, recomputed", "warn", "doc_id", "n_tok",
-                     F.col("n_tok"), true_ntok),
-            ),
-            F.when(
-                payload_on_delete,
-                _msg("payload on delete ignored", "info", "doc_id", "op",
-                     F.lit("delete"), F.lit("")),
-            ),
+    checks = [
+        F.when(
+            (~is_delete) & null_payload,
+            _msg("null tokens on non-delete", "error", "doc_id", "tokens",
+                 F.lit(""), F.lit("")),
         ),
-        lambda m: m.isNotNull(),
-    ).cast(MESSAGE_SCHEMA)
+        F.when(
+            payload_on_delete,
+            _msg("payload on delete ignored", "info", "doc_id", "op",
+                 F.lit("delete"), F.lit("")),
+        ),
+    ]
+    if has_ntok:
+        checks.insert(1, F.when(
+            ntok_bad,
+            _msg("n_tok mismatch, recomputed", "warn", "doc_id", "n_tok",
+                 F.col("n_tok"), true_ntok),
+        ))
+    messages = F.filter(F.array(*checks), lambda m: m.isNotNull()).cast(MESSAGE_SCHEMA)
 
-    return (
-        df.withColumn("messages", messages)
-        .withColumn(
-            "n_tok",
-            F.when(is_delete, F.lit(None).cast("int")).otherwise(true_ntok.cast("int")),
-        )
-        .withColumn("tokens", F.when(is_delete, F.lit(None).cast("array<int>")).otherwise(F.col("tokens")))
-        .withColumn("source", F.when(is_delete, F.lit(None).cast("string")).otherwise(F.col("source")))
-    )
+    out = df.withColumn("messages", messages)
+    ntok_type = dict(df.dtypes).get("n_tok", "int")
+    for c in payload_cols:
+        if c == "n_tok":
+            out = out.withColumn(
+                c, F.when(is_delete, F.lit(None)).otherwise(true_ntok).cast(ntok_type)
+            )
+        else:
+            out = out.withColumn(c, F.when(is_delete, F.lit(None)).otherwise(F.col(c)))
+    return out
 
 
 def has_error(col: str = "messages"):

@@ -90,16 +90,53 @@ def ngram_jaccard_pairs(
 
 
 # ----------------------------------------------------------------- minhash
-def minhash_signature(col, num_hashes: int = 64, shingle_n: int = 3):
-    """MinHash signature: for seed i, min over shingles of xxhash64(shingle, i).
+def shingle_hashes(col, shingle_n: int = 3):
+    """Each distinct shingle hashed ONCE to 64 bits (JVM-side xxhash64).
 
-    Seeded xxhash64 realizes the k independent permutations; all JVM-side.
-    """
-    sh = shingles(col, shingle_n)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    Downstream sketches (minhash/simhash) work on these longs — never
+    re-hashing the strings k times."""
+    return F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
+
+
+def _splitmix_mins(hashes, num_hashes: int):
+    """numpy splitmix64-style mixer: k derived hashes per input, min per k.
+
+    Vectorized over an object Series of int64 arrays (Arrow batch)."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = (np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+    def one(arr):
+        h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None] ^ seeds[None, :]
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        return h.min(axis=0).astype(np.int64)
+
+    return pd.Series([one(a) if a is not None and len(a) else None for a in hashes])
+
+
+def minhash_signature_udf(num_hashes: int = 64):
+    """Pandas UDF: array<long> shingle hashes -> array<long> signature."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sig(hashes):  # type: ignore[no-untyped-def]
+        return _splitmix_mins(hashes, num_hashes)
+
+    return sig
+
+
+def minhash_signature(col, num_hashes: int = 64, shingle_n: int = 3):
+    """MinHash signature over word shingles.
+
+    Hybrid plan: shingle strings hashed once JVM-side (xxhash64), then the
+    k permutations are a numpy splitmix64 mix inside an Arrow-batched
+    pandas UDF — O(n_shingles x k) integer SIMD, no per-bit expression
+    blowup (the pure-expression form generated 2MB task binaries and ran
+    ~50x slower)."""
+    return minhash_signature_udf(num_hashes)(shingle_hashes(col, shingle_n))
 
 
 def minhash_lsh_candidates(
@@ -160,29 +197,39 @@ def minhash_similarity(df_pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------------ simhash
+def simhash64_udf():
+    """Pandas UDF: array<long> shingle hashes -> 64-bit SimHash (long)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits_idx = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sim(hashes):  # type: ignore[no-untyped-def]
+        def one(arr):
+            if arr is None or not len(arr):
+                return 0
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> bits_idx[None, :]) & np.uint64(1)  # n x 64
+            maj = bits.sum(axis=0) * 2 > len(h)
+            word = np.uint64(0)
+            for b in np.nonzero(maj)[0]:
+                word |= np.uint64(1) << np.uint64(b)
+            return int(word.astype(np.int64))
+
+        return pd.Series([one(a) for a in hashes], dtype="int64")
+
+    return sim
+
+
 def simhash64(col, shingle_n: int = 2):
-    """64-bit SimHash: for each bit, majority vote of shingle-hash bits.
+    """64-bit SimHash: per-bit majority vote over shingle hashes.
 
-    Expression-only: per bit b, count shingles whose hash has bit b set;
-    bit set in output iff count*2 > n_shingles.
-    """
-    sh = shingles(col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(sh)
-
-    def bit_mask(b):  # JVM-side shift: bit 63 wraps to Long.MIN_VALUE safely
-        return F.shiftleft(F.lit(1).cast("long"), b)
-
-    bits = [
-        (
-            F.size(F.filter(hashes, lambda h: h.bitwiseAND(bit_mask(b)) != 0)) * 2 > n
-        ).cast("long") * bit_mask(b)
-        for b in range(64)
-    ]
-    out = bits[0]
-    for bexpr in bits[1:]:
-        out = out + bexpr
-    return out
+    Hybrid plan like minhash: strings hashed once JVM-side, bit-majority in
+    a numpy pandas UDF (the 64-pass expression form generated huge codegen
+    and ran ~50x slower)."""
+    return simhash64_udf()(shingle_hashes(col, shingle_n))
 
 
 def simhash_near_pairs(

@@ -263,7 +263,9 @@ class LakeTable:
         merge, sized by AQE.
         """
         sv = schema_version or self.schema_version
-        cols = [f.name for f in self.fields(sv)]
+        # cast to the declared schema: feeds written before a widen (e.g.
+        # int n_tok into a bigint column) land with the table's type
+        cols = [F.col(f.name).cast(f.type).alias(f.name) for f in self.fields(sv)]
         batch_rel = os.path.join("data", f"batch-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, batch_rel)
         (

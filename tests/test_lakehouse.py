@@ -1,0 +1,78 @@
+"""LakeTable format primitives: snapshots, time travel, pruning, vacuum,
+optimistic concurrency."""
+
+from __future__ import annotations
+
+import pytest
+
+from ingestion3_spark.cdc.generator import make_corpus
+from ingestion3_spark.lakehouse.table import CommitConflict, Field, LakeTable
+
+FIELDS = [
+    Field(1, "doc_id", "string"),
+    Field(2, "tokens", "array<int>"),
+    Field(3, "n_tok", "int"),
+    Field(4, "source", "string"),
+]
+
+
+@pytest.fixture()
+def table(spark, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, FIELDS, num_buckets=4)
+    df = spark.createDataFrame(make_corpus(200, seed=5, max_len=16).to_pandas())
+    t.commit("append", add_files=t.write_files(df))
+    return t
+
+
+def test_snapshot_time_travel(spark, table):
+    s1 = table.current_snapshot.snapshot_id
+    df2 = spark.createDataFrame(make_corpus(300, seed=6, max_len=16).to_pandas())
+    # replace everything: new snapshot without the old files
+    old_paths = {e.path for e in table.live_files()}
+    table.commit("replace", add_files=table.write_files(df2), remove_paths=old_paths)
+    assert table.read().count() == 300
+    assert table.read(snapshot_id=s1).count() == 200  # time travel
+
+
+def test_bucket_pruning_reads_fewer_files(table):
+    files = table.live_files()
+    some_buckets = {files[0].bucket}
+    pruned = [e for e in files if e.bucket in some_buckets]
+    assert 0 < len(pruned) < len(files)
+    df = table.read(buckets=some_buckets, with_bucket_col=True)
+    assert df.count() == sum(e.rows for e in pruned)
+    assert df.select("__bucket").distinct().count() == len(some_buckets)
+
+
+def test_vacuum_removes_orphans(spark, table):
+    old_paths = {e.path for e in table.live_files()}
+    df2 = spark.createDataFrame(make_corpus(100, seed=7, max_len=16).to_pandas())
+    table.commit("replace", add_files=table.write_files(df2), remove_paths=old_paths)
+    # both snapshots still reference their files -> nothing to vacuum
+    assert table.vacuum() == 0
+    table.expire_snapshots(keep_last=1)
+    removed = table.vacuum()
+    assert removed == len(old_paths)
+    assert table.read().count() == 100  # live data intact
+
+
+def test_commit_conflict_detection(spark, table):
+    # a second writer advances the table between our load and our commit
+    writer_b = LakeTable.load(spark, table.path)
+    df = spark.createDataFrame(make_corpus(10, seed=8, max_len=8).to_pandas())
+    table.commit("append", add_files=table.write_files(df))
+    with pytest.raises(CommitConflict):
+        writer_b.commit("append", add_files=[])
+
+
+def test_checkpoint_carried_forward(spark, table):
+    table.commit("merge", checkpoint={0: 100, 1: 50})
+    table.commit("merge", checkpoint={1: 75})
+    assert table.checkpoint() == {0: 100, 1: 75}
+
+
+def test_empty_read_matches_schema(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "empty"), FIELDS, num_buckets=4)
+    df = t.read()
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]

@@ -58,7 +58,13 @@ def main() -> int:
     work = sys.argv[5]
     reps = int(sys.argv[6]) if len(sys.argv) > 6 else 3
 
-    spark = get_spark(f"replay-bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    os.makedirs(os.path.join(work, "spark-local"), exist_ok=True)
+    spark = get_spark(
+        f"replay-bench-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.local.dir": os.path.join(work, "spark-local")},
+    )
     events = spark.read.parquet(events_path)
     n_events = events.count()
 
