@@ -1,0 +1,189 @@
+"""String-normalization kernels — vectorized re-expressions of the
+reference's per-record normalizers (``enrichments/normalizations/
+StringNormalizationUtils.scala``, applied field-by-field in
+``StringNormalizations.scala:17-144``). Each is a pure Column expression
+(whole-stage codegen); unit tests mirror the reference's input→expected
+pairs (``StringNormalizationUtilsTest.scala``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def reduce_whitespace(col) -> Column:
+    """Collapse runs of whitespace (incl. NBSP) to one space, trim
+    (StringNormalizationUtils.scala:154-155)."""
+    return F.trim(F.regexp_replace(_c(col), r"[\s ]+", " "))
+
+
+def strip_html(col) -> Column:
+    """Unescape entities then remove tags (approximation of the jsoup
+    clean, :199-208; exact DOM parity needs an html parser UDF)."""
+    no_tags = F.regexp_replace(_c(col), r"<[^>]*>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+            ),
+            "&gt;", ">",
+        ),
+        "&quot;", '"',
+    )
+    return reduce_whitespace(unescaped)
+
+
+def cleanup_leading_punctuation(col) -> Column:
+    """Strip [-;:,\\/\\s] before the first alphanumeric (:72-84)."""
+    return F.regexp_replace(_c(col), r"^[-;:,\\/\s]+", "")
+
+
+def cleanup_ending_punctuation(col) -> Column:
+    """Strip [-;:,\\/\\s] after the last alphanumeric (:105-114)."""
+    return F.regexp_replace(_c(col), r"[-;:,\\/\s]+$", "")
+
+
+def cleanup_ending_comma_and_space(col) -> Column:
+    """Strip trailing commas/whitespace (:88-99)."""
+    return F.regexp_replace(_c(col), r"[,\s]+$", "")
+
+
+def strip_ending_period(col) -> Column:
+    """Remove a single trailing '.' but not '..' / '...' (:213-217)."""
+    return F.regexp_replace(_c(col), r"(?<!\.)\.\s*$", "")
+
+
+def capitalize_first_char(col) -> Column:
+    """Uppercase the FIRST alphabetic char only, preserving any prefix
+    (:56-66). F.initcap is wrong (it capitalizes every word)."""
+    c = _c(col)
+    prefix = F.regexp_extract(c, r"^([^A-Za-z]*)", 1)
+    first = F.upper(F.regexp_extract(c, r"^[^A-Za-z]*([A-Za-z])", 1))
+    rest = F.regexp_replace(c, r"^[^A-Za-z]*[A-Za-z]", "")
+    return F.when(first == "", c).otherwise(F.concat(prefix, first, rest))
+
+
+def limit_characters(col, n: int) -> Column:
+    """Truncate to n characters (:141-144)."""
+    return F.substring(_c(col), 1, n)
+
+
+def strip_dbl_quotes(col) -> Column:
+    """Remove all double quotes (:196-197)."""
+    return F.translate(_c(col), '"', "")
+
+
+def strip_unmatched_opening_brackets(col) -> Column:
+    """Remove a leading '[' when no ']' follows (:183-192)."""
+    c = _c(col)
+    return F.when(
+        c.startswith("[") & ~c.contains("]"),
+        F.substring(c, F.lit(2), F.length(c)),
+    ).otherwise(c)
+
+
+def strip_unmatched_closing_brackets(col) -> Column:
+    c = _c(col)
+    return F.when(
+        c.endswith("]") & ~c.contains("["),
+        F.substring(c, F.lit(1), F.length(c) - 1),
+    ).otherwise(c)
+
+
+def cleanup_geocoordinates(col) -> Column:
+    """'35.58N, 83.50W' -> '35.58, 83.50'; anything else -> '' (:157-172)."""
+    c = _c(col)
+    lat = F.regexp_extract(c, r"^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$", 1)
+    lon = F.regexp_extract(c, r"^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$", 2)
+    return F.when((lat != "") & (lon != ""), F.concat(lat, F.lit(", "), lon)).otherwise(F.lit(""))
+
+
+def split_at_delimiter(col, delim: str = ";") -> Column:
+    """Split + trim + drop empties (:176-178). Returns array<string>."""
+    return F.filter(
+        F.transform(F.split(_c(col), delim), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def convert_to_sentence_case(col) -> Column:
+    """Capitalize each '.'-separated sentence (:122-129).
+
+    Expression-only via split/transform; mirrors the reference's
+    WordUtils-based behavior for the common case."""
+    sentences = F.split(_c(col), r"\.\s*")
+    fixed = F.transform(
+        sentences,
+        lambda s: F.when(
+            F.length(s) > 0,
+            F.concat(
+                F.upper(F.substring(s, F.lit(1), F.lit(1))),
+                F.substring(s, F.lit(2), F.length(s)),
+            ),
+        ).otherwise(s),
+    )
+    return F.array_join(F.filter(fixed, lambda s: s != ""), ". ")
+
+
+# ------------------------------------------------------- edmRights-style URI
+def normalize_rights_uri(col) -> Column:
+    """Chained URI rewrites (mappers/Mapper.scala:59-174): https->http,
+    drop www, /page/->/vocab/, drop /rdf, drop query string, strip trailing
+    punctuation, ensure trailing slash."""
+    c = _c(col)
+    c = F.regexp_replace(c, r"^https://", "http://")
+    c = F.regexp_replace(c, r"^http://www\.", "http://")
+    c = F.regexp_replace(c, r"/page/", "/vocab/")
+    c = F.regexp_replace(c, r"/rdf/?$", "/")
+    c = F.regexp_replace(c, r"\?.*$", "")
+    c = F.regexp_replace(c, r"[\.,;:\s]+$", "")
+    c = F.when(c.rlike("/$"), c).otherwise(F.concat(c, F.lit("/")))
+    return c
+
+
+# --------------------------------------------------------------- date ranges
+def date_begin_end(col) -> Column:
+    """DateBuilder.generateBeginEnd analog (enrichments/date/DateBuilder.
+    scala:16-55) plus the common ParseDateEnrichment patterns
+    (enrichments/ParseDateEnrichment.scala:14-101): returns
+    struct<begin:string, end:string> (nulls when unparseable).
+
+    Patterns: 'YYYY'; 'YYYY-YYYY' / 'YYYY - YYYY'; 'YYYYs' decades;
+    'circa YYYY'/'c. YYYY'; 'YYYY-MM'; 'YYYY-MM-DD'.
+    """
+    c = F.trim(_c(col))
+    y = r"(\d{4})"
+    single = F.regexp_extract(c, rf"^{y}$", 1)
+    r_lo = F.regexp_extract(c, rf"^{y}\s*-\s*{y}$", 1)
+    r_hi = F.regexp_extract(c, rf"^{y}\s*-\s*{y}$", 2)
+    decade = F.regexp_extract(c, rf"^{y}0?s$", 0)
+    decade_base = F.regexp_extract(c, r"^(\d{3})0s$", 1)
+    circa = F.regexp_extract(c, rf"^(?:circa|ca?\.)\s*{y}$", 1)
+    ym = F.regexp_extract(c, rf"^{y}-(\d{{2}})$", 0)
+    ymd = F.regexp_extract(c, rf"^{y}-(\d{{2}})-(\d{{2}})$", 0)
+
+    return (
+        F.when(single != "", F.struct(single.alias("begin"), single.alias("end")))
+        .when((r_lo != "") & (r_hi != ""), F.struct(r_lo.alias("begin"), r_hi.alias("end")))
+        .when(
+            decade_base != "",
+            F.struct(
+                F.concat(decade_base, F.lit("0")).alias("begin"),
+                F.concat(decade_base, F.lit("9")).alias("end"),
+            ),
+        )
+        .when(circa != "", F.struct(circa.alias("begin"), circa.alias("end")))
+        .when(ymd != "", F.struct(ymd.alias("begin"), ymd.alias("end")))
+        .when(ym != "", F.struct(ym.alias("begin"), ym.alias("end")))
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("string").alias("begin"),
+                F.lit(None).cast("string").alias("end"),
+            )
+        )
+    )

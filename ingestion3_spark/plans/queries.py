@@ -621,6 +621,139 @@ def q_ann_lsh_topk(spark, sf):
     return out.select("qid", "vec_id", "rank", F.round("cos", 6).alias("cos"))
 
 
+# --------------------------------------------- enrichment kernels (§2.8)
+def q_date_parse(spark, sf):
+    """Date-range parsing kernel (DateBuilder/ParseDateEnrichment analog)
+    over a deterministic mixed date-string column derived from events."""
+    from ingestion3_spark.functions.normalize import date_begin_end
+
+    ev = load(spark, sf, "events")
+    raw = ev.withColumn(
+        "raw_date",
+        F.when(F.col("user_id") % 5 == 0, F.lit("1984"))
+        .when(F.col("user_id") % 5 == 1, F.lit("1984-1990"))
+        .when(F.col("user_id") % 5 == 2, F.lit("1950s"))
+        .when(F.col("user_id") % 5 == 3, F.lit("circa 1920"))
+        .otherwise(F.lit("unknown")),
+    )
+    parsed = raw.withColumn("d", date_begin_end("raw_date"))
+    return (
+        parsed.groupBy("raw_date", F.col("d.begin").alias("begin"), F.col("d.end").alias("end"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_date_parse = """
+WITH raw AS (
+  SELECT CASE CAST(user_id % 5 AS INT)
+    WHEN 0 THEN '1984' WHEN 1 THEN '1984-1990' WHEN 2 THEN '1950s'
+    WHEN 3 THEN 'circa 1920' ELSE 'unknown' END AS raw_date
+  FROM events
+)
+SELECT raw_date,
+  CASE raw_date WHEN '1984' THEN '1984' WHEN '1984-1990' THEN '1984'
+    WHEN '1950s' THEN '1950' WHEN 'circa 1920' THEN '1920' END AS begin,
+  CASE raw_date WHEN '1984' THEN '1984' WHEN '1984-1990' THEN '1990'
+    WHEN '1950s' THEN '1959' WHEN 'circa 1920' THEN '1920' END AS "end",
+  COUNT(*) AS n
+FROM raw GROUP BY 1, 2, 3
+"""
+
+
+def q_rights_uri_normalize(spark, sf):
+    """edmRights URI normalization chain (mappers/Mapper.scala:59-174)."""
+    from ingestion3_spark.functions.normalize import normalize_rights_uri
+
+    ev = load(spark, sf, "events")
+    raw = ev.withColumn(
+        "uri",
+        F.concat(
+            F.lit("https://www.rightsstatements.org/page/NoC-US/"),
+            (F.col("user_id") % 3).cast("string"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("/rdf")).otherwise(F.lit("?lang=en")),
+        ),
+    )
+    return (
+        raw.withColumn("norm", normalize_rights_uri("uri"))
+        .groupBy("norm")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_rights_uri_normalize = """
+WITH raw AS (
+  SELECT 'https://www.rightsstatements.org/page/NoC-US/' || CAST(user_id % 3 AS VARCHAR)
+         || CASE WHEN event_id % 2 = 0 THEN '/rdf' ELSE '?lang=en' END AS uri
+  FROM events
+), norm AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           uri,
+           '^https://', 'http://'),
+           '^http://www\\.', 'http://'),
+           '/page/', '/vocab/'),
+           '/rdf/?$', '/'),
+           '\\?.*$', ''),
+           '[\\.,;:\\s]+$', '') AS u
+  FROM raw
+)
+SELECT CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS norm, COUNT(*) AS n
+FROM norm GROUP BY 1
+"""
+
+
+def q_doc_completeness(spark, sf):
+    """Completeness metrics (MetadataCompletenessReport analog, A7)."""
+    from ingestion3_spark.operators.reports import completeness_report
+
+    d = load(spark, sf, "documents")
+    return completeness_report(d, ["text", "lang", "source"])
+
+
+SQL_doc_completeness = """
+SELECT AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) AS fill_text,
+       AVG(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) AS fill_lang,
+       AVG(CASE WHEN source IS NOT NULL THEN 1.0 ELSE 0.0 END) AS fill_source,
+       AVG(((CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN source IS NOT NULL THEN 1.0 ELSE 0.0 END)) / 3) AS mean_completeness
+FROM documents
+"""
+
+
+def q_events_distinct_users(spark, sf):
+    """Distinct-count (A4: the reference's double-groupBy, as countDistinct)."""
+    ev = load(spark, sf, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_events_distinct_users = """
+SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events
+"""
+
+
+def q_word_frequency(spark, sf):
+    """Value-frequency report (A9/E2: explode + groupBy count) over words."""
+    from ingestion3_spark.functions.text import words
+
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(words("text")).alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_word_frequency = r"""
+SELECT value, COUNT(*) AS n FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS value
+  FROM documents
+) GROUP BY value
+"""
+
+
 # ---------------------------------------------------------------- registry
 QUERIES: dict[str, callable] = {
     "cdc_last_event_wins": q_cdc_last_event_wins,
@@ -650,6 +783,11 @@ QUERIES: dict[str, callable] = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "knn_topk": q_knn_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "date_parse": q_date_parse,
+    "rights_uri_normalize": q_rights_uri_normalize,
+    "doc_completeness": q_doc_completeness,
+    "events_distinct_users": q_events_distinct_users,
+    "word_frequency": q_word_frequency,
 }
 
 ORACLES: dict[str, str] = {
