@@ -450,6 +450,28 @@ class LakeTable:
         self.commit(operation=f"evolve-schema[{op}]", summary={"schema_version": nv})
 
     # ------------------------------------------------------------ maintenance
+    def compact(self, min_files: int = 2) -> int:
+        """Rewrite buckets fragmented across > min_files files into one file
+        each (Iceberg rewrite_data_files analog). Merges only touch whole
+        buckets so fragmentation comes from repeated appends; compaction
+        keeps the per-bucket file count — and thus scan fan-out — bounded.
+        Returns the number of buckets compacted."""
+        by_bucket: dict[int, list[FileEntry]] = {}
+        for e in self.live_files():
+            by_bucket.setdefault(e.bucket, []).append(e)
+        frag = {b: es for b, es in by_bucket.items() if len(es) >= min_files}
+        if not frag:
+            return 0
+        df = self.read(buckets=set(frag))
+        new_files = self.write_files(df)
+        self.commit(
+            "replace",
+            add_files=new_files,
+            remove_paths={e.path for es in frag.values() for e in es},
+            summary={"compacted_buckets": len(frag)},
+        )
+        return len(frag)
+
     def vacuum(self) -> int:
         """Delete data files not referenced by ANY snapshot manifest (orphans)."""
         referenced: set[str] = set()

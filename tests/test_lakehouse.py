@@ -76,3 +76,20 @@ def test_empty_read_matches_schema(spark, tmp_path):
     df = t.read()
     assert df.count() == 0
     assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_compact_fragmented_buckets(spark, table):
+    # three appends -> up to 3 files per bucket
+    for seed in (11, 12):
+        df = spark.createDataFrame(make_corpus(150, seed=seed, max_len=16).to_pandas())
+        table.commit("append", add_files=table.write_files(df))
+    rows_before = table.read().count()
+    files_before = len(table.live_files())
+    n = table.compact(min_files=2)
+    assert n > 0
+    assert len(table.live_files()) < files_before
+    by_bucket = {}
+    for e in table.live_files():
+        by_bucket.setdefault(e.bucket, []).append(e)
+    assert all(len(es) == 1 for es in by_bucket.values())
+    assert table.read().count() == rows_before
