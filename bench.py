@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_simhash_pairs",
     "knn_topk",
     "ann_lsh_topk",
+    "doc_embed_dups",
 ]
 
 

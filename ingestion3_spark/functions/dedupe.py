@@ -262,3 +262,60 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------------- embedding-cosine near-dup
+def sign_bucket(vec_col, n_dims: int = 8):
+    """Deterministic LSH bucket: sign pattern of the first ``n_dims`` dims.
+
+    Axis-aligned random-hyperplane LSH with fixed (identity) planes — fully
+    reproducible in any engine (no seeded RNG), so the near-dup operator
+    keeps a cross-engine oracle. At scale the bucket key is what turns the
+    O(n^2) pair space into an equi-join shuffle keyed on 2^n_dims buckets.
+    """
+    return F.concat(*[
+        F.when(F.element_at(vec_col, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, n_dims + 1)
+    ])
+
+
+def embed_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    sign_dims: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-bucket blocked.
+
+    The dedup-family counterpart of similarity.lsh_topk: candidate pairs
+    share a sign bucket (equi-join — no crossJoin), then exact cosine in
+    double precision filters at ``threshold``. Output (id_a, id_b, cos).
+
+    Scale: the join shuffles on the bucket key only; per-bucket pair count
+    is (n/2^d)^2 per bucket, tunable via ``sign_dims``. Hot buckets (skewed
+    sign patterns) are handled by AQE skew-join splitting since this is a
+    plain equi-join.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("sb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm_a = F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    norm_b = F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "sb")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.sqrt(norm_a) * F.sqrt(norm_b))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -34,6 +34,9 @@ Operator coverage map (reference op -> entry):
   dedup  simhash                      doc_simhash_pairs (NO_ORACLE)
   ANN    brute-force cosine top-k     knn_topk
   ANN    LSH bucketed top-k           ann_lsh_topk (NO_ORACLE)
+  dedup  embedding-cosine near-dup    doc_embed_dups
+  S4     JSON-L record rendering      jsonl_render
+  E1/A3  validate + message report    doc_validate_report
 """
 
 from __future__ import annotations
@@ -754,6 +757,116 @@ SELECT value, COUNT(*) AS n FROM (
 """
 
 
+def q_doc_embed_dups(spark, sf):
+    """Embedding-cosine near-dup pairs (dedup family), sign-bucket blocked.
+
+    The blocking key is deterministic (sign pattern of the first 8 dims), so
+    unlike the seeded-RNG LSH the full operator keeps a SQL oracle."""
+    e = load(spark, sf, "embeddings")
+    out = dedupe.embed_near_pairs(e, threshold=0.3, sign_dims=8)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+SQL_doc_embed_dups = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    concat(CASE WHEN embedding[1]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[2]>=0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[4]>=0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[6]>=0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[7]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[8]>=0 THEN '1' ELSE '0' END) AS sb
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
+  FROM b a JOIN b b ON a.sb = b.sb AND a.vec_id < b.vec_id
+), flat AS (
+  SELECT ia, ib, unnest(ea) va, unnest(eb) vb FROM cand
+), dots AS (
+  SELECT ia, ib, SUM(CAST(va AS DOUBLE)*CAST(vb AS DOUBLE)) dp,
+         SUM(CAST(va AS DOUBLE)*CAST(va AS DOUBLE)) na,
+         SUM(CAST(vb AS DOUBLE)*CAST(vb AS DOUBLE)) nb
+  FROM flat GROUP BY ia, ib
+)
+SELECT ia AS id_a, ib AS id_b, ROUND(dp/(sqrt(na)*sqrt(nb)), 6) AS cos
+FROM dots WHERE dp/(sqrt(na)*sqrt(nb)) >= 0.3
+"""
+
+
+def q_jsonl_render(spark, sf):
+    """JSON-L index-record rendering (S4, ``model/package.scala:115-243``
+    jsonlRecord + ``JsonlExecutor.scala:53-58``): one deterministic JSON
+    string per record via to_json(struct(...)) — no per-record Python."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("jsonl"),
+    )
+
+
+SQL_jsonl_render = """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang, source := source,
+                           n_chars := n_chars))::VARCHAR AS jsonl
+FROM documents
+"""
+
+
+_KNOWN_LANGS = "('en','de','fr','es')"
+
+
+def q_doc_validate_report(spark, sf):
+    """Validation cascade + message explode + (field, level) report — the
+    full Mapper/MessageCollector/MessageProcessor path (§2.8 validators,
+    E1 message explode, A3 grouped report) over the documents table.
+
+    Never throws per-record: each check appends a message struct; the
+    report is one groupBy over the exploded messages array."""
+    d = load(spark, sf, "documents")
+    checks = F.array(
+        F.when(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))) == "",
+            F.struct(F.lit("empty text").alias("message"), F.lit("error").alias("level"),
+                     F.lit("text").alias("field")),
+        ),
+        F.when(
+            F.col("n_chars") != F.length("text"),
+            F.struct(F.lit("n_chars mismatch").alias("message"), F.lit("error").alias("level"),
+                     F.lit("n_chars").alias("field")),
+        ),
+        F.when(
+            ~F.col("lang").isin("en", "de", "fr", "es"),
+            F.struct(F.lit("unmapped language").alias("message"), F.lit("warn").alias("level"),
+                     F.lit("lang").alias("field")),
+        ),
+        F.when(
+            F.length("text") < 64,
+            F.struct(F.lit("short document").alias("message"), F.lit("warn").alias("level"),
+                     F.lit("text").alias("field")),
+        ),
+    )
+    msgs = d.select(F.explode(F.filter(checks, lambda m: m.isNotNull())).alias("m"))
+    return (
+        msgs.groupBy(F.col("m.message").alias("message"),
+                     F.col("m.level").alias("level"),
+                     F.col("m.field").alias("field"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_doc_validate_report = f"""
+WITH m AS (
+  SELECT 'empty text' AS message, 'error' AS level, 'text' AS field FROM documents
+    WHERE trim(coalesce(text, '')) = ''
+  UNION ALL
+  SELECT 'n_chars mismatch', 'error', 'n_chars' FROM documents WHERE n_chars <> length(text)
+  UNION ALL
+  SELECT 'unmapped language', 'warn', 'lang' FROM documents WHERE lang NOT IN {_KNOWN_LANGS}
+  UNION ALL
+  SELECT 'short document', 'warn', 'text' FROM documents WHERE length(text) < 64
+)
+SELECT message, level, field, COUNT(*) AS n FROM m GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------- registry
 QUERIES: dict[str, callable] = {
     "cdc_last_event_wins": q_cdc_last_event_wins,
@@ -788,6 +901,9 @@ QUERIES: dict[str, callable] = {
     "doc_completeness": q_doc_completeness,
     "events_distinct_users": q_events_distinct_users,
     "word_frequency": q_word_frequency,
+    "doc_embed_dups": q_doc_embed_dups,
+    "jsonl_render": q_jsonl_render,
+    "doc_validate_report": q_doc_validate_report,
 }
 
 ORACLES: dict[str, str] = {
