@@ -72,6 +72,11 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("sh"))
+    # (id, int64) is narrow — persisting it is cheap and stops the self-join
+    # + sizes agg from re-running the shingle expression three times (the
+    # reference's no-cache rule, NaraMergeUtil.scala:99-117, is about WIDE
+    # payload rows; sketch intermediates are the opposite shape)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -101,20 +106,31 @@ def shingle_hashes(col, shingle_n: int = 3):
 def _splitmix_mins(hashes, num_hashes: int):
     """numpy splitmix64-style mixer: k derived hashes per input, min per k.
 
-    Vectorized over an object Series of int64 arrays (Arrow batch)."""
+    Vectorized across the WHOLE Arrow batch (flatten all rows' hash arrays,
+    one (m x k) mix, per-row mins via np.minimum.reduceat) — the per-row
+    Python loop was ~2 ms/row of interpreter overhead, which dominated the
+    sketch queries. Chunked so the (m x k) temp stays ~256 MB max."""
     import numpy as np
     import pandas as pd
 
     seeds = (np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-
-    def one(arr):
-        h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None] ^ seeds[None, :]
+    arrs = hashes.tolist()
+    lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+    out: list = [None] * len(arrs)
+    nz_idx = np.nonzero(lens > 0)[0]
+    chunk = max(1, (1 << 25) // max(num_hashes, 1))  # ~32M mixed elements
+    for c0 in range(0, len(nz_idx), chunk):
+        idx = nz_idx[c0 : c0 + chunk]
+        flat = np.concatenate([np.asarray(arrs[i], dtype=np.int64) for i in idx]).astype(np.uint64)
+        h = flat[:, None] ^ seeds[None, :]
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         h = h ^ (h >> np.uint64(31))
-        return h.min(axis=0).astype(np.int64)
-
-    return pd.Series([one(a) if a is not None and len(a) else None for a in hashes])
+        starts = np.concatenate([[0], np.cumsum(lens[idx])[:-1]]).astype(np.int64)
+        mins = np.minimum.reduceat(h, starts, axis=0).astype(np.int64)
+        for j, i in enumerate(idx):
+            out[i] = mins[j]
+    return pd.Series(out)
 
 
 def minhash_signature_udf(num_hashes: int = 64):
@@ -155,6 +171,9 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("id"),
                     minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"))
+    # narrow (id, k longs) — persist so the banding self-join computes the
+    # shingle+UDF signature pass once, not once per join side
+    sig = sig.persist()
     banded = sig.select(
         "id",
         F.explode(
@@ -207,18 +226,27 @@ def simhash64_udf():
 
     @pandas_udf("long")
     def sim(hashes):  # type: ignore[no-untyped-def]
-        def one(arr):
-            if arr is None or not len(arr):
-                return 0
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = (h[:, None] >> bits_idx[None, :]) & np.uint64(1)  # n x 64
-            maj = bits.sum(axis=0) * 2 > len(h)
-            word = np.uint64(0)
-            for b in np.nonzero(maj)[0]:
-                word |= np.uint64(1) << np.uint64(b)
-            return int(word.astype(np.int64))
-
-        return pd.Series([one(a) for a in hashes], dtype="int64")
+        # whole-batch vectorization (flatten + reduceat), same math as the
+        # per-row form but without ~2 ms/row of interpreter overhead
+        arrs = hashes.tolist()
+        lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+        out = np.zeros(len(arrs), dtype=np.int64)
+        nz_idx = np.nonzero(lens > 0)[0]
+        chunk = 1 << 19  # rows per chunk; bits temp ~ (rows*avg_len) x 64
+        for c0 in range(0, len(nz_idx), chunk):
+            idx = nz_idx[c0 : c0 + chunk]
+            flat = np.concatenate(
+                [np.asarray(arrs[i], dtype=np.int64) for i in idx]
+            ).astype(np.uint64)
+            bits = ((flat[:, None] >> bits_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens[idx])[:-1]]).astype(np.int64)
+            sums = np.add.reduceat(bits, starts, axis=0)  # k x 64
+            maj = (sums * 2) > lens[idx][:, None]
+            words = (maj.astype(np.uint64) * (np.uint64(1) << bits_idx[None, :])).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[idx] = words.astype(np.int64)
+        return pd.Series(out, dtype="int64")
 
     return sim
 
@@ -245,6 +273,9 @@ def simhash_near_pairs(
     16-bit chunks — join on chunk, verify exact hamming via bit_count(xor).
     """
     h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("h"))
+    # narrow (id, int64) — persist so the chunk self-join computes the
+    # shingle+UDF simhash pass once, not once per join side
+    h = h.persist()
     chunks = h.select(
         "id", "h",
         F.explode(F.array(*[

@@ -187,3 +187,83 @@ def date_begin_end(col) -> Column:
             )
         )
     )
+
+
+# ------------------------------------------------- allow/block term filters
+def apply_allow_filter(arr_col, allow_regexes: list[str]) -> Column:
+    """Keep array terms matching ANY allow regex (StringNormalizationUtils.
+    scala:34-48, extent extraction). Case-insensitive, expression-only."""
+    pat = "(?i)" + "|".join(f"(?:{r})" for r in allow_regexes)
+    return F.filter(_c(arr_col), lambda s: s.rlike(pat))
+
+
+def apply_block_filter(arr_col, block_regexes: list[str]) -> Column:
+    """Drop array terms matching ANY block regex (:132-137)."""
+    pat = "(?i)" + "|".join(f"(?:{r})" for r in block_regexes)
+    return F.filter(_c(arr_col), lambda s: ~s.rlike(pat))
+
+
+# ----------------------------------------------------------- URI validation
+_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+
+def uri_is_valid(col) -> Column:
+    """Parseable absolute http(s) URI (model/DplaMapData.scala:140-151
+    ``validate``): scheme + non-empty host, no whitespace."""
+    return _c(col).rlike(r"^https?://[^\s/?#]+\S*$")
+
+
+def has_bare_ip_host(col) -> Column:
+    """Host is an IPv4 or [IPv6] literal (model/DplaMapData.scala:153-164
+    ``hasBareIpHost`` — routed as an error message in validateIsShownAt)."""
+    c = _c(col)
+    return c.rlike(rf"^https?://{_IPV4}(?::\d+)?(?:[/?#]|$)") | c.rlike(
+        r"^https?://\[[0-9A-Fa-f:]+\](?::\d+)?(?:[/?#]|$)"
+    )
+
+
+RIGHTS_URI_DOMAINS = ("rightsstatements.org", "creativecommons.org")
+
+def is_recognized_rights_uri(col) -> Column:
+    """Membership check against the rights vocabularies (the mechanism of
+    ``isValidEdmRightsUri``'s ~590-entry static set, model/DplaMapData.
+    scala:175-768, re-expressed as domain+path shape; at scale an exact
+    list becomes a broadcast ``isin``/join)."""
+    c = _c(col)
+    return c.rlike(
+        r"^http://rightsstatements\.org/vocab/[A-Za-z\-]+/\d+(\.\d+)*/$"
+    ) | c.rlike(
+        r"^http://creativecommons\.org/(licenses|publicdomain)/[a-z\-]+(/\d+(\.\d+)*)?/$"
+    )
+
+
+# ------------------------------------------------------------- EDTF extras
+def edtf_begin_end(col) -> Column:
+    """EDTF level-1 forms beyond date_begin_end (utils/EDTFDate.scala:
+    115-218, enrichments/ParseDateEnrichment.scala:14-101): uncertainty
+    '1984?'/'1984~', unspecified digits '198u'/'19uu', intervals
+    '1984/1985' and 'YYYY-MM/YYYY-MM'. Returns struct<begin,end> strings
+    (null-null when unparseable here — callers coalesce with
+    date_begin_end)."""
+    c = F.trim(_c(col))
+    y = r"(\d{4})"
+    uncertain = F.regexp_extract(c, rf"^{y}[?~]$", 1)
+    dec_u = F.regexp_extract(c, r"^(\d{3})u$", 1)
+    cen_u = F.regexp_extract(c, r"^(\d{2})uu$", 1)
+    iv_lo = F.regexp_extract(c, rf"^{y}/{y}$", 1)
+    iv_hi = F.regexp_extract(c, rf"^{y}/{y}$", 2)
+    ivm = r"^(\d{4}-\d{2})/(\d{4}-\d{2})$"
+    ivm_lo = F.regexp_extract(c, ivm, 1)
+    ivm_hi = F.regexp_extract(c, ivm, 2)
+
+    def s(b, e):
+        return F.struct(b.alias("begin"), e.alias("end"))
+
+    null_s = F.lit(None).cast("string")
+    return (
+        F.when(uncertain != "", s(uncertain, uncertain))
+        .when(dec_u != "", s(F.concat(dec_u, F.lit("0")), F.concat(dec_u, F.lit("9"))))
+        .when(cen_u != "", s(F.concat(cen_u, F.lit("00")), F.concat(cen_u, F.lit("99"))))
+        .when((iv_lo != "") & (iv_hi != ""), s(iv_lo, iv_hi))
+        .when((ivm_lo != "") & (ivm_hi != ""), s(ivm_lo, ivm_hi))
+        .otherwise(s(null_s, null_s))
+    )

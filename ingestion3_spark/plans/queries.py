@@ -528,10 +528,22 @@ GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
-def q_doc_jaccard_pairs(spark, sf):
-    d = load(spark, sf, "documents").select(
-        "doc_id", text.normalize_text("text").alias("text")
+def _docs_spread(spark, sf):
+    """documents scan spread across cores before CPU-heavy sketch passes.
+
+    The sandbox fixture is one parquet row group, which scans as ONE task;
+    an explicit round-robin repartition of the narrow (id, text) rows is
+    ~free here and irrelevant at scale (real inputs carry thousands of
+    row groups, so the scan already fans out and callers can skip this)."""
+    return (
+        load(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", text.normalize_text("text").alias("text"))
     )
+
+
+def q_doc_jaccard_pairs(spark, sf):
+    d = _docs_spread(spark, sf)
     return dedupe.ngram_jaccard_pairs(d, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -564,17 +576,13 @@ WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 
 def q_doc_minhash_pairs(spark, sf):
     """NO_ORACLE: seeded xxhash64 signatures (not reproducible in DuckDB)."""
-    d = load(spark, sf, "documents").select(
-        "doc_id", text.normalize_text("text").alias("text")
-    )
+    d = _docs_spread(spark, sf)
     return dedupe.minhash_lsh_candidates(d, num_hashes=32, bands=8)
 
 
 def q_doc_simhash_pairs(spark, sf):
     """NO_ORACLE: seeded xxhash64 bit votes (not reproducible in DuckDB)."""
-    d = load(spark, sf, "documents").select(
-        "doc_id", text.normalize_text("text").alias("text")
-    )
+    d = _docs_spread(spark, sf)
     return dedupe.simhash_near_pairs(d, max_hamming=8)
 
 

@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.locality.wait", "0s")
+        # small single-file inputs must still fan out: without a floor on
+        # split count a 1 MB parquet scans as ONE task and a CPU-heavy
+        # downstream (sketch UDFs) runs on 1 of N cores; harmless at scale
+        # (real inputs have >> minPartitionNum splits already)
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         # pin the JVM's internal pool sizing (GC/JIT threads) to the core
         # count; detection is unreliable in virtualized sandboxes
         .config(

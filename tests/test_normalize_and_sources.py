@@ -76,6 +76,52 @@ def test_date_begin_end(spark, inp, expected):
     assert (got["begin"], got["end"]) == expected
 
 
+EDTF_CASES = [
+    ("1984?", ("1984", "1984")),
+    ("1984~", ("1984", "1984")),
+    ("198u", ("1980", "1989")),
+    ("19uu", ("1900", "1999")),
+    ("1984/1985", ("1984", "1985")),
+    ("1984-06/1984-08", ("1984-06", "1984-08")),
+    ("gibberish", (None, None)),
+]
+
+
+@pytest.mark.parametrize("inp,expected", EDTF_CASES, ids=[c[0] for c in EDTF_CASES])
+def test_edtf_begin_end(spark, inp, expected):
+    got = _one(spark, N.edtf_begin_end, inp)
+    assert (got["begin"], got["end"]) == expected
+
+
+def test_allow_block_filters(spark):
+    df = spark.createDataFrame([(["3 pages", "ill.", "12 x 9 cm", "maps"],)], "a array<string>")
+    allowed = df.select(
+        N.apply_allow_filter("a", [r"\d+\s*pages?", r"\d+\s*x\s*\d+\s*cm"]).alias("o")
+    ).collect()[0]["o"]
+    assert allowed == ["3 pages", "12 x 9 cm"]
+    blocked = df.select(N.apply_block_filter("a", [r"ill\.", r"maps"]).alias("o")).collect()[0]["o"]
+    assert blocked == ["3 pages", "12 x 9 cm"]
+
+
+URI_CASES = [
+    (N.uri_is_valid, "http://example.org/x", True),
+    (N.uri_is_valid, "not a uri", False),
+    (N.has_bare_ip_host, "http://192.168.0.1/item/7", True),
+    (N.has_bare_ip_host, "https://[2001:db8::1]:8080/x", True),
+    (N.has_bare_ip_host, "http://example.org/192.168.0.1", False),
+    (N.is_recognized_rights_uri, "http://rightsstatements.org/vocab/NoC-US/1.0/", True),
+    (N.is_recognized_rights_uri, "http://creativecommons.org/licenses/by-sa/4.0/", True),
+    (N.is_recognized_rights_uri, "http://example.org/rights/", False),
+]
+
+
+@pytest.mark.parametrize(
+    "fn,inp,expected", URI_CASES, ids=[f"{f.__name__}:{i[:24]}" for f, i, _ in URI_CASES]
+)
+def test_uri_validation(spark, fn, inp, expected):
+    assert _one(spark, fn, inp) is expected
+
+
 # ------------------------------------------------------------ sources/sinks
 def test_jsonl_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
