@@ -1,0 +1,44 @@
+"""CLI driver (python -m ingestion3_spark.cli) end-to-end."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _run(*argv):
+    out = subprocess.run(
+        [sys.executable, "-m", "ingestion3_spark.cli", "--cores", "4", *argv],
+        capture_output=True, text=True, check=True,
+    )
+    return [json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")]
+
+
+def test_cli_generate_replay_report_compact(tmp_path):
+    feed = str(tmp_path / "feed.parquet")
+    table = str(tmp_path / "tbl")
+    err = str(tmp_path / "err")
+
+    gen = _run("generate", "--out", feed, "--events", "5000", "--seed", "7")
+    assert gen[0]["rows"] >= 5000
+
+    rep = _run("replay", "--feed", feed, "--table", table,
+               "--err-dir", err, "--batches", "2", "--buckets", "4")
+    final = rep[-1]
+    assert final["rows"] > 0
+    assert set(map(int, final["checkpoint"])) == set(range(8))
+
+    # idempotent re-run via the same CLI surface
+    rep2 = _run("replay", "--feed", feed, "--table", table,
+                "--err-dir", err, "--batches", "1", "--buckets", "4")
+    assert rep2[0]["events_in"] == 0
+    assert rep2[-1]["rows"] == final["rows"]
+
+    report = _run("report", "--table", table)
+    assert report[0]["rows"] == final["rows"]
+    ops = report[1:]
+    assert sum(o["inserts"] for o in ops) > 0
+
+    comp = _run("compact", "--table", table)
+    assert "compacted_buckets" in comp[0]
