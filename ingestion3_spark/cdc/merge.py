@@ -95,9 +95,17 @@ def merge_batch(
         else:
             touched = {b for b in touched_buckets if 0 <= b < table.num_buckets}
         _t("delta_persist_buckets")
-        base = table.read(buckets=touched, with_bucket_col=True)
-
-        base_keys = base.select(F.col(key), F.lit(True).alias("_matched"))
+        mor = table.merge_mode == "mor"
+        if mor:
+            # merge-on-read: classification joins the NARROW reconciled key
+            # set (token arrays never decoded); no base data is read here
+            base = None
+            base_keys = table.live_keys(buckets=touched).select(
+                F.col(key), F.lit(True).alias("_matched")
+            )
+        else:
+            base = table.read(buckets=touched, with_bucket_col=True)
+            base_keys = base.select(F.col(key), F.lit(True).alias("_matched"))
         classified = (
             delta.join(base_keys, key, "left")
             .withColumn(
@@ -155,17 +163,26 @@ def merge_batch(
             )
             row.update({kk: row.get(kk, 0) + vv for kk, vv in extra.items()})
 
-        # apply: base rows not touched by delta ∪ upsert payloads
-        upserts = delta.filter(F.col("op") != "delete").select(*data_cols)
-        new_data = (
-            base.select(*data_cols)
-            .join(delta.select(key), key, "left_anti")
-            .unionByName(upserts)
-        )
-
-        rows_before_total = sum(e.rows for e in table.live_files())
-        touched_files = [e for e in table.live_files() if e.bucket in touched]
-        new_files = table.write_files(new_data) if touched else []
+        if mor:
+            # apply: append the deduped changes (upserts + delete
+            # tombstones) as delta files — O(delta) write, no base rewrite
+            rows_before_total = -1
+            touched_files = []
+            new_files = (
+                table.write_delta_files(delta.select(*data_cols, "op", "seq", "part"))
+                if touched else []
+            )
+        else:
+            # apply: base rows not touched by delta ∪ upsert payloads
+            upserts = delta.filter(F.col("op") != "delete").select(*data_cols)
+            new_data = (
+                base.select(*data_cols)
+                .join(delta.select(key), key, "left_anti")
+                .unionByName(upserts)
+            )
+            rows_before_total = sum(e.rows for e in table.live_files())
+            touched_files = [e for e in table.live_files() if e.bucket in touched]
+            new_files = table.write_files(new_data) if touched else []
         _t("cow_write")
 
         counts = {
@@ -175,7 +192,7 @@ def merge_batch(
             "invalid_deletes": sum(r["invalid_deletes"] for r in lineage_rows.values()),
         }
         snap = table.commit(
-            operation="merge",
+            operation="merge-delta" if mor else "merge",
             add_files=new_files,
             remove_paths={e.path for e in touched_files},
             checkpoint=checkpoint,
@@ -183,15 +200,22 @@ def merge_batch(
             lineage=list(lineage_rows.values()),
             summary=counts,
         )
-        rows_after_total = sum(e.rows for e in table.live_files())
-        # count reconciliation invariant (NaraMergeUtil.scala:188,284)
-        expected = rows_before_total + counts["inserts"] - counts["deletes"]
-        if rows_after_total != expected:
-            raise AssertionError(
-                f"merge reconciliation failed: before={rows_before_total} "
-                f"+ins={counts['inserts']} -del={counts['deletes']} "
-                f"expected={expected} got={rows_after_total}"
-            )
+        if mor:
+            # physical file rows include superseded versions + tombstones,
+            # so the COW count invariant does not apply; the oracle-equality
+            # tests and compaction (which re-establishes exact file counts)
+            # are the MOR correctness gates
+            rows_after_total = -1
+        else:
+            rows_after_total = sum(e.rows for e in table.live_files())
+            # count reconciliation invariant (NaraMergeUtil.scala:188,284)
+            expected = rows_before_total + counts["inserts"] - counts["deletes"]
+            if rows_after_total != expected:
+                raise AssertionError(
+                    f"merge reconciliation failed: before={rows_before_total} "
+                    f"+ins={counts['inserts']} -del={counts['deletes']} "
+                    f"expected={expected} got={rows_after_total}"
+                )
         return MergeResult(snap, list(lineage_rows.values()), rows_before_total, rows_after_total)
     finally:
         delta.unpersist()

@@ -69,19 +69,25 @@ class ReplayEngine:
     history: list[BatchStats] = field(default_factory=list)
 
     @staticmethod
-    def create_table(spark: SparkSession, path: str, num_buckets: int = 16) -> LakeTable:
-        return LakeTable.create(spark, path, CORPUS_FIELDS, num_buckets=num_buckets)
+    def create_table(
+        spark: SparkSession, path: str, num_buckets: int = 16, merge_mode: str = "cow"
+    ) -> LakeTable:
+        return LakeTable.create(
+            spark, path, CORPUS_FIELDS, num_buckets=num_buckets, merge_mode=merge_mode
+        )
 
     # ------------------------------------------------------------- one batch
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchStats:
         """Single-pass batch application.
 
         Action budget (the scale discipline — every Spark action is a full
-        job): ONE combined per-part stats aggregation over the persisted
-        validated chunk (offsets + delivered/error counts), one error-table
-        write (skipped when no errors), then the merge's classify agg +
-        data write. Counts that earlier versions computed with extra jobs
-        (pre/post dedup) are derived from the classify aggregation for free.
+        job): a column-pruned offsets aggregation (reads ONLY the seq/part
+        parquet chunks, never the token arrays), one error-routing scan
+        that writes the error table (per-part error counts read back from
+        the tiny written output), then the merge's classify agg + data
+        write. The feed's wide columns are scanned exactly twice per batch
+        (error routing + merge); every other job touches narrow columns or
+        already-written small outputs.
         """
         import time
 
@@ -108,51 +114,59 @@ class ReplayEngine:
         if self.persist_batches:
             validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            # one pass: per-part max seq (offset), delivered count, error count
-            # touched buckets ride along free: dedup preserves the key set,
-            # so buckets(clean events) == buckets(deduped delta), and the
-            # merge can skip its own distinct-buckets job
-            stats_rows = (
-                validated.groupBy("part")
-                .agg(
-                    F.max("seq").alias("hi"),
-                    F.count("*").alias("n"),
-                    F.sum(val.has_error().cast("long")).alias("n_err"),
-                    F.collect_set(
-                        F.when(~val.has_error(), self.table.bucket_expr())
-                    ).alias("buckets"),
-                )
+            # offsets/count job: Catalyst prunes this scan to the (part,
+            # seq) parquet column chunks — the wide token arrays are never
+            # decoded for checkpoint bookkeeping
+            offset_rows = (
+                dd.drop_applied(events, ckpt)
+                .groupBy("part")
+                .agg(F.max("seq").alias("hi"), F.count("*").alias("n"))
                 .collect()
             )
-            _t("stats_agg")
-            if not stats_rows:
+            _t("offsets_agg")
+            if not offset_rows:
                 stats = BatchStats(batch_id, 0, 0, 0, None)
                 self.history.append(stats)
                 return stats
             new_ckpt = dict(ckpt)
             events_in = n_err = 0
             err_by_part: dict[tuple, dict] = {}
-            touched: set[int] = set()
-            for r in stats_rows:
+            for r in offset_rows:
                 p = int(r["part"])
                 new_ckpt[p] = max(int(r["hi"]), new_ckpt.get(p, -1))
                 events_in += int(r["n"])
-                touched.update(int(b) for b in r["buckets"])
-                if int(r["n_err"]):
-                    err_by_part[(batch_id, p)] = {"errors": int(r["n_err"])}
-                    n_err += int(r["n_err"])
 
-            if self.error_dir is not None and n_err:
+            if self.error_dir is not None:
                 # error table write (MessageCollector report analog);
-                # at-least-once — errors_df() dedups by (part, seq)
+                # at-least-once — errors_df() dedups by (part, seq).
+                # Per-part error counts for lineage come from re-reading the
+                # tiny written output, NOT from a third full feed scan;
+                # deduped by (part, seq) so a crash-retry that re-appends
+                # the same batch cannot inflate the lineage counts.
+                err_path = os.path.join(self.error_dir, "errors")
                 (
                     validated.filter(val.has_error())
                     .withColumn("batch_id", F.lit(batch_id))
                     .select("batch_id", "part", "seq", "doc_id", "op", "messages")
                     .write.mode("append")
-                    .parquet(os.path.join(self.error_dir, "errors"))
+                    .parquet(err_path)
                 )
                 _t("error_write")
+                for r in (
+                    self.spark.read.parquet(err_path)
+                    .filter(F.col("batch_id") == batch_id)
+                    .dropDuplicates(["part", "seq"])
+                    .groupBy("part")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                ):
+                    err_by_part[(batch_id, int(r["part"]))] = {"errors": int(r["n"])}
+                    n_err += int(r["n"])
+            else:
+                n_err = validated.filter(val.has_error()).count()
+                if n_err:
+                    err_by_part[(batch_id, -1)] = {"errors": n_err}
+            _t("error_count")
 
             clean = validated.filter(~val.has_error())
             deduper = dd.latest_by_key_salted if self.salted_dedup else dd.latest_by_key
@@ -175,7 +189,7 @@ class ReplayEngine:
                 checkpoint=new_ckpt,
                 extra_lineage=err_by_part,
                 clean_count=events_in - n_err,
-                touched_buckets=touched,
+                touched_buckets=None,  # merge derives them from its spilled delta
             )
             _t("merge")
             c = result.counts

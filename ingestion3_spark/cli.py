@@ -47,20 +47,21 @@ def cmd_generate(args) -> int:
     return 0
 
 
-def _load_or_create(spark, path: str, num_buckets: int):
+def _load_or_create(spark, path: str, num_buckets: int, merge_mode: str = "cow"):
     from ingestion3_spark.cdc.replay import ReplayEngine
     from ingestion3_spark.lakehouse.table import LakeTable
 
     if LakeTable.exists(path):
         return LakeTable.load(spark, path)
-    return ReplayEngine.create_table(spark, path, num_buckets=num_buckets)
+    return ReplayEngine.create_table(spark, path, num_buckets=num_buckets,
+                                     merge_mode=merge_mode)
 
 
 def cmd_replay(args) -> int:
     from ingestion3_spark.cdc.replay import ReplayEngine
 
     spark = _spark(args)
-    table = _load_or_create(spark, args.table, args.buckets)
+    table = _load_or_create(spark, args.table, args.buckets, args.merge_mode)
     eng = ReplayEngine(spark, table, error_dir=args.err_dir)
     stats = eng.replay(spark.read.parquet(args.feed), num_batches=args.batches)
     for s in stats:
@@ -135,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--err-dir", default=None)
     r.add_argument("--batches", type=int, default=1)
     r.add_argument("--buckets", type=int, default=16)
+    r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                   help="cow: rewrite touched buckets; mor: append delta files")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="streaming replay of a file-drop feed dir")

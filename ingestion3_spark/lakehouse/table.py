@@ -76,6 +76,7 @@ class FileEntry:
     rows: int
     schema_version: int
     batch_dir: str  # relative dir the file was written under
+    kind: str = "base"  # base = fully-merged rows | delta = MOR row-level changes
 
     def to_json(self) -> dict:
         return {
@@ -84,11 +85,13 @@ class FileEntry:
             "rows": self.rows,
             "schema_version": self.schema_version,
             "batch_dir": self.batch_dir,
+            "kind": self.kind,
         }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["bucket"], d["rows"], d["schema_version"], d["batch_dir"])
+        return FileEntry(d["path"], d["bucket"], d["rows"], d["schema_version"],
+                         d["batch_dir"], d.get("kind", "base"))
 
 
 @dataclass
@@ -155,7 +158,10 @@ class LakeTable:
         schema: list[Field],
         num_buckets: int = 16,
         key_column: str = "doc_id",
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         path = os.path.abspath(path)
         meta_dir = os.path.join(path, "metadata")
         if os.path.exists(os.path.join(meta_dir, "_current")):
@@ -174,6 +180,10 @@ class LakeTable:
             "snapshots": [],
             "version": 1,
             "last_field_id": max(f.id for f in schema),
+            # cow: merges rewrite touched buckets in place (read = plain scan)
+            # mor: merges append row-level delta files (read = reconcile by
+            #      last (seq, part) per key; compact() folds deltas to base)
+            "merge_mode": merge_mode,
         }
         _atomic_write(os.path.join(meta_dir, "v1.metadata.json"), json.dumps(meta, indent=1))
         _atomic_write(os.path.join(meta_dir, "_current"), "v1.metadata.json")
@@ -198,6 +208,10 @@ class LakeTable:
     @property
     def key_column(self) -> str:
         return self._meta["key_column"]
+
+    @property
+    def merge_mode(self) -> str:
+        return self._meta.get("merge_mode", "cow")
 
     @property
     def num_buckets(self) -> int:
@@ -278,7 +292,36 @@ class LakeTable:
         )
         return self._scan_batch_dir(batch_rel, sv)
 
-    def _scan_batch_dir(self, batch_rel: str, schema_version: int) -> list[FileEntry]:
+    def write_delta_files(self, df: DataFrame, schema_version: int | None = None) -> list[FileEntry]:
+        """MOR: write row-level changes (upserts + delete tombstones) as
+        bucket-partitioned delta files; does NOT rewrite any base file.
+
+        ``df`` carries the payload columns plus the change envelope
+        ``(op, seq, part)``; these persist in the files as ``__op/__seq/
+        __part`` — the reconciling read resolves each key to its
+        max-(__seq, __part) row and drops deletes. Write volume is O(delta),
+        vs O(touched buckets) for COW — the only viable shape when a batch's
+        keys spray across every bucket of a 10^10-row table.
+        """
+        sv = schema_version or self.schema_version
+        cols = [F.col(f.name).cast(f.type).alias(f.name) for f in self.fields(sv)]
+        cols += [
+            F.col("op").cast("string").alias("__op"),
+            F.col("seq").cast("long").alias("__seq"),
+            F.col("part").cast("int").alias("__part"),
+        ]
+        batch_rel = os.path.join("data", f"delta-{uuid.uuid4().hex[:12]}")
+        out_dir = os.path.join(self.path, batch_rel)
+        (
+            df.select(*cols, self.bucket_expr(self.key_column).alias("__bucket"))
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("error")
+            .parquet(out_dir)
+        )
+        return self._scan_batch_dir(batch_rel, sv, kind="delta")
+
+    def _scan_batch_dir(self, batch_rel: str, schema_version: int, kind: str = "base") -> list[FileEntry]:
         entries: list[FileEntry] = []
         out_dir = os.path.join(self.path, batch_rel)
         for root, _dirs, files in os.walk(out_dir):
@@ -290,7 +333,7 @@ class LakeTable:
                 bucket_part = [p for p in rel.split(os.sep) if p.startswith("__bucket=")]
                 bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
                 rows = pq.read_metadata(full).num_rows
-                entries.append(FileEntry(rel, bucket, rows, schema_version, batch_rel))
+                entries.append(FileEntry(rel, bucket, rows, schema_version, batch_rel, kind))
         return entries
 
     # ---------------------------------------------------------------- commit
@@ -372,6 +415,19 @@ class LakeTable:
                 ddl += ", `__bucket` int"
             return self.spark.createDataFrame([], schema=ddl)
 
+        base_files = [e for e in files if e.kind == "base"]
+        delta_files = [e for e in files if e.kind == "delta"]
+        if not delta_files:
+            out = self._union_scan(base_files, cur_fields)
+        else:
+            out = self._reconcile(base_files, delta_files, cur_fields)
+        if not with_bucket_col:
+            out = out.drop("__bucket")
+        return out
+
+    def _union_scan(
+        self, files: list[FileEntry], cur_fields: list[Field], extra: tuple[str, ...] = ()
+    ) -> DataFrame:
         # group by (schema_version, batch_dir): one parquet listing per batch
         groups: dict[tuple[int, str], list[FileEntry]] = {}
         for e in files:
@@ -381,16 +437,95 @@ class LakeTable:
             base = os.path.join(self.path, batch_dir)
             paths = [os.path.join(self.path, e.path) for e in entries]
             df = self.spark.read.option("basePath", base).parquet(*paths)
-            df = self._map_to_current(df, sv, cur_fields)
+            df = self._map_to_current(df, sv, cur_fields, extra)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if not with_bucket_col:
-            out = out.drop("__bucket")
         return out
 
-    def _map_to_current(self, df: DataFrame, from_version: int, cur_fields: list[Field]) -> DataFrame:
+    def _reconcile(
+        self,
+        base_files: list[FileEntry],
+        delta_files: list[FileEntry],
+        cur_fields: list[Field],
+    ) -> DataFrame:
+        """MOR read: resolve each key to its latest (__seq, __part) row
+        across base (treated as seq -1) and all delta layers, dropping
+        delete tombstones. One hash aggregation on the key — partial
+        aggregation bounds shuffle rows by distinct keys per map task, and
+        bucket pruning applies before the scan, so reconciliation cost
+        follows the buckets actually read."""
+        key = self.key_column
+        payload = [f.name for f in cur_fields if f.name != key]
+        SYS = ("__op", "__seq", "__part")
+        parts = [self._union_scan(delta_files, cur_fields, extra=SYS)]
+        if base_files:
+            parts.append(
+                self._union_scan(base_files, cur_fields)
+                .withColumn("__op", F.lit("upsert"))
+                .withColumn("__seq", F.lit(-1).cast("long"))
+                .withColumn("__part", F.lit(-1).cast("int"))
+            )
+        allr = parts[0]
+        for p in parts[1:]:
+            allr = allr.unionByName(p)
+        w = allr.groupBy(key).agg(
+            F.max_by(
+                F.struct(*payload, "__bucket", "__op"), F.struct("__seq", "__part")
+            ).alias("__w")
+        )
+        return w.filter(F.col("__w.__op") != "delete").select(
+            key,
+            *[F.col(f"__w.{c}").alias(c) for c in payload],
+            F.col("__w.__bucket").alias("__bucket"),
+        )
+
+    def live_keys(self, buckets: set[int] | None = None) -> DataFrame:
+        """Live key set (one column). For MOR tables this reconciles on the
+        NARROW columns only — token arrays are never decoded, so the merge's
+        insert-vs-update classification stays cheap even with delta layers
+        present."""
+        key = self.key_column
+        files = self.live_files()
+        if buckets is not None:
+            files = [e for e in files if e.bucket in buckets]
+        cur_fields = self.fields()
+        key_type = next(f.type for f in cur_fields if f.name == key)
+        if not files:
+            return self.spark.createDataFrame([], schema=f"`{key}` {key_type}")
+        base_files = [e for e in files if e.kind == "base"]
+        delta_files = [e for e in files if e.kind == "delta"]
+        if not delta_files:
+            return self._union_scan(base_files, cur_fields).select(key)
+        parts = [
+            self._union_scan(delta_files, cur_fields, extra=("__op", "__seq", "__part"))
+            .select(key, "__op", "__seq", "__part")
+        ]
+        if base_files:
+            parts.append(
+                self._union_scan(base_files, cur_fields).select(
+                    F.col(key),
+                    F.lit("upsert").alias("__op"),
+                    F.lit(-1).cast("long").alias("__seq"),
+                    F.lit(-1).cast("int").alias("__part"),
+                )
+            )
+        allr = parts[0]
+        for p in parts[1:]:
+            allr = allr.unionByName(p)
+        w = allr.groupBy(key).agg(
+            F.max_by("__op", F.struct("__seq", "__part")).alias("__op")
+        )
+        return w.filter(F.col("__op") != "delete").select(key)
+
+    def _map_to_current(
+        self,
+        df: DataFrame,
+        from_version: int,
+        cur_fields: list[Field],
+        extra: tuple[str, ...] = (),
+    ) -> DataFrame:
         """Field-id mapping: rename, cast (widen), null-fill added columns."""
         old = {f.id: f for f in self.fields(from_version)}
         cols = []
@@ -403,6 +538,7 @@ class LakeTable:
             else:
                 cols.append(F.col(o.name).alias(f.name))
         cols.append(F.col("__bucket"))
+        cols.extend(F.col(c) for c in extra)
         return df.select(*cols)
 
     # ------------------------------------------------------- schema evolution
