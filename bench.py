@@ -78,6 +78,15 @@ def run_queries() -> dict[str, float]:
     from ingestion3_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
+    # absorb one-time session costs (codegen warmup, python-worker pool,
+    # parquet footer cache) so the FIRST headline query isn't charged for
+    # them; every query then measures steady plan execution
+    QUERIES["cdc_last_event_wins"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    QUERIES["doc_fingerprint"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -34,6 +34,7 @@ Operator coverage map (reference op -> entry):
   dedup  simhash                      doc_simhash_pairs (NO_ORACLE)
   ANN    brute-force cosine top-k     knn_topk
   ANN    LSH bucketed top-k           ann_lsh_topk (NO_ORACLE)
+  ANN    IVF coarse-quantized top-k   ann_ivf_topk (NO_ORACLE)
   dedup  embedding-cosine near-dup    doc_embed_dups
   S4     JSON-L record rendering      jsonl_render
   E1/A3  validate + message report    doc_validate_report
@@ -765,6 +766,30 @@ SELECT value, COUNT(*) AS n FROM (
 """
 
 
+def q_ann_ivf_topk(spark, sf):
+    """NO_ORACLE: IVF coarse-quantized ANN top-k (numpy-seeded k-means
+    centroids; the cell assignment is the scale path — probe 1 of
+    n_cells instead of the full corpus)."""
+    e = load(spark, sf, "embeddings")
+    cents = similarity.kmeans_centroids(e, "embedding", n_cells=8, seed=42)
+    cell = similarity.ivf_cell(F.col("embedding"), cents)
+    ec = e.withColumn("cell", cell)
+    q = _query_vectors(spark, sf).withColumn(
+        "cell", similarity.ivf_cell(F.col("qvec"), cents)
+    )
+    joined = ec.join(q, "cell").filter(F.col("vec_id") != F.col("qid"))
+    cos = similarity.cosine(F.col("embedding"), F.col("qvec"))
+    ranked = joined.select(
+        "qid", "vec_id", F.round(cos, 6).alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 10).select("qid", "vec_id", "rank", "cos")
+
+
 def q_doc_embed_dups(spark, sf):
     """Embedding-cosine near-dup pairs (dedup family), sign-bucket blocked.
 
@@ -909,6 +934,7 @@ QUERIES: dict[str, callable] = {
     "doc_completeness": q_doc_completeness,
     "events_distinct_users": q_events_distinct_users,
     "word_frequency": q_word_frequency,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "doc_embed_dups": q_doc_embed_dups,
     "jsonl_render": q_jsonl_render,
     "doc_validate_report": q_doc_validate_report,
