@@ -29,8 +29,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
 CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "500000"))
 CDC_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 # tmpfs by default: the sandbox's single virtio disk saturates at ~8 cores
 # and hides CPU scaling; a real cluster has NVMe/distributed storage.
 WORK = os.environ.get(
@@ -157,8 +157,8 @@ def main() -> int:
         # drifts 2-3x over minutes (shared host). Measuring N and 4N in
         # adjacent subprocesses ("a round") controls for that drift far
         # better than one long N phase followed by one long 4N phase;
-        # efficiency is computed per matched round and the best round is
-        # reported, with every raw number disclosed alongside.
+        # efficiency is computed per matched round; the MEDIAN round is
+        # the headline, with every raw number disclosed alongside.
         rounds = []
         for _ in range(SCALING_ROUNDS):
             r_n = run_replay(n, feed)
@@ -172,7 +172,12 @@ def main() -> int:
                 "hw_speedup": env["hw_speedup"],
                 "normalized_efficiency": round(speedup / env["hw_speedup"], 3),
             })
-        best = max(rounds, key=lambda r: r["normalized_efficiency"])
+        # headline = MEDIAN round by normalized efficiency: with per-window
+        # host-speed drift a max pick can exceed 1.0 (N window slower than
+        # its own envelope sample) and a min pick penalizes one bad window;
+        # the median of 3 matched rounds is robust to a single outlier.
+        ranked = sorted(rounds, key=lambda r: r["normalized_efficiency"])
+        best = ranked[len(ranked) // 2]
         cdc = {
             "events": r_4n["events"],
             "cores_N": n,

@@ -64,11 +64,17 @@ def _feed(events) -> pa.Table:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(st.lists(event_st, min_size=1, max_size=24), st.integers(1, 3))
-def test_random_feed_matches_oracle(spark, tmp_path_factory, events, n_batches):
+@given(
+    st.lists(event_st, min_size=1, max_size=24),
+    st.integers(1, 3),
+    st.sampled_from(["cow", "mor"]),
+)
+def test_random_feed_matches_oracle(spark, tmp_path_factory, events, n_batches, mode):
     tmp = tmp_path_factory.mktemp("prop")
     feed = _feed(events)
-    table = ReplayEngine.create_table(spark, str(tmp / "tbl"), num_buckets=2)
+    table = ReplayEngine.create_table(
+        spark, str(tmp / "tbl"), num_buckets=2, merge_mode=mode
+    )
     eng = ReplayEngine(spark, table, error_dir=str(tmp / "err"))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     eng.replay(spark.createDataFrame(feed.to_pandas()), num_batches=n_batches)
