@@ -98,7 +98,7 @@ def main() -> int:
     spark = get_spark(
         f"replay-bench-{cores}",
         cores=cores,
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=int(os.environ.get("I3S_SHUFFLE_PARTS", "0")) or max(cores, 8),
         extra_conf={"spark.local.dir": os.path.join(work, "spark-local")},
     )
     events = spark.read.parquet(events_path)
