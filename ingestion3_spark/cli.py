@@ -9,6 +9,7 @@ Commands:
   generate --out feed.parquet --events N [--base-docs N] [--seed S] [--skew]
   replay   --feed feed.parquet --table DIR [--err-dir DIR] [--batches N]
   stream   --feed-dir DIR --table DIR --checkpoint DIR [--err-dir DIR]
+  evolve   --table DIR (--add name:type | --rename old:new | --widen name:type)
   compact  --table DIR [--min-files N]
   report   --table DIR
 
@@ -85,6 +86,30 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_evolve(args) -> int:
+    """Schema-evolution metadata transactions (Iceberg ALTER TABLE analog);
+    already-written files are mapped by field id on read, and the replay
+    compat gate admits feeds carrying the new shape."""
+    from ingestion3_spark.lakehouse.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    if args.add:
+        name, type_ = args.add.split(":", 1)
+        table.add_column(name, type_)
+    elif args.rename:
+        old, new = args.rename.split(":", 1)
+        table.rename_column(old, new)
+    elif args.widen:
+        name, type_ = args.widen.split(":", 1)
+        table.widen_column(name, type_)
+    else:
+        raise SystemExit("evolve: one of --add/--rename/--widen required")
+    print(json.dumps({"schema_version": table.schema_version,
+                      "columns": table.column_names()}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from ingestion3_spark.lakehouse.table import LakeTable
 
@@ -150,6 +175,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--continuous", action="store_true")
     s.add_argument("--trigger-interval", default=None)
     s.set_defaults(fn=cmd_stream)
+
+    e = sub.add_parser("evolve", help="schema evolution: add/rename/widen")
+    e.add_argument("--table", required=True)
+    e.add_argument("--add", help="name:type, e.g. lang:string")
+    e.add_argument("--rename", help="old:new")
+    e.add_argument("--widen", help="name:newtype, e.g. n_tok:bigint")
+    e.set_defaults(fn=cmd_evolve)
 
     c = sub.add_parser("compact", help="bin-pack small files + vacuum")
     c.add_argument("--table", required=True)

@@ -42,3 +42,18 @@ def test_cli_generate_replay_report_compact(tmp_path):
 
     comp = _run("compact", "--table", table)
     assert "compacted_buckets" in comp[0]
+
+
+def test_cli_evolve(tmp_path):
+    feed = str(tmp_path / "feed.parquet")
+    table = str(tmp_path / "tbl")
+    _run("generate", "--out", feed, "--events", "500", "--seed", "3")
+    _run("replay", "--feed", feed, "--table", table, "--buckets", "2")
+    out = _run("evolve", "--table", table, "--add", "lang:string")
+    assert out[0]["schema_version"] == 2
+    assert "lang" in out[0]["columns"]
+    out = _run("evolve", "--table", table, "--widen", "n_tok:bigint")
+    assert out[0]["schema_version"] == 3
+    # old files still read through the field-id mapping
+    rep = _run("report", "--table", table)
+    assert rep[0]["rows"] > 0 and rep[0]["schema_version"] == 3
