@@ -160,7 +160,7 @@ def main() -> int:
         # efficiency is computed per matched round; the MEDIAN round is
         # the headline, with every raw number disclosed alongside.
         rounds = []
-        for _ in range(SCALING_ROUNDS):
+        for _ in range(max(SCALING_ROUNDS, 1)):
             r_n = run_replay(n, feed)
             r_4n = run_replay(CPUS, feed)
             env = hw_envelope(n, CPUS)
@@ -179,7 +179,7 @@ def main() -> int:
         ranked = sorted(rounds, key=lambda r: r["normalized_efficiency"])
         best = ranked[len(ranked) // 2]
         cdc = {
-            "events": r_4n["events"],
+            "events": r_4n["events"],  # feed size: identical across rounds
             "cores_N": n,
             "cores_4N": CPUS,
             "thr_N": best["thr_N"],

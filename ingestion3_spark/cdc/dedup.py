@@ -65,6 +65,122 @@ def latest_by_key_salted(
     return phase2.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
 
+def winner_keys(
+    df: DataFrame,
+    key: str = "doc_id",
+    order_cols: tuple[str, ...] = ORDER_COLS,
+    extra: tuple[str, ...] = ("op",),
+    salted: bool = False,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Narrow winner selection: one row per key carrying the max
+    ``(seq, part)`` plus the winning row's ``extra`` columns.
+
+    The scale-defining trick (late materialization): ONLY ``(key,
+    *order_cols, *extra)`` — a few dozen bytes/row — enter the dedup
+    shuffle. The wide token payload is recovered afterwards by semi-joining
+    these keys back to the columnar source scan, so a 10^10-event batch
+    shuffles ~40 B/event instead of the full multi-KB token arrays. This
+    replaces shuffling the whole payload through ``latest_by_key`` (round-1
+    scaling bottleneck: the wide shuffle + spill was memory-bandwidth-bound
+    and stopped scaling past ~8 cores).
+    """
+    narrow = df.select(key, *order_cols, *extra)
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    pick = F.struct(*order_cols, *extra)
+    if salted:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+        phase1 = (
+            narrow.withColumn("_salt", salt)
+            .groupBy(key, "_salt")
+            .agg(F.max_by(pick, ord_struct).alias("_w"))
+            .select(key, "_w.*")
+        )
+        agg = phase1.groupBy(key).agg(F.max_by(pick, ord_struct).alias("_w"))
+    else:
+        agg = narrow.groupBy(key).agg(F.max_by(pick, ord_struct).alias("_w"))
+    return agg.select(key, "_w.*")
+
+
+# packed winner-key bit layout: [ seq:42 | part:16 | op:4 ] — max() over this
+# long IS lexicographic max over (seq, part), with op riding in the low bits
+# (ties only between exact duplicate deliveries, where op is identical too).
+PACK_SEQ_MAX = 1 << 42   # 4.4e12 — covers the 10^10-event contract
+PACK_PART_MAX = 1 << 16
+
+_OP_CODE = {"delete": 0, "update": 1, "insert": 2}
+
+
+def packed_order(seq_col: str = "seq", part_col: str = "part", op_col: str = "op"):
+    """(seq, part, op) packed into one BIGINT, with a per-row domain guard
+    (seq < 2^42, 0 <= part < 2^16) that raises on contract violations."""
+    opc = (
+        F.when(F.col(op_col) == "insert", 2)
+        .when(F.col(op_col) == "update", 1)
+        .when(F.col(op_col) == "delete", 0)
+    )
+    ok = (
+        (F.col(seq_col) >= 0) & (F.col(seq_col) < F.lit(PACK_SEQ_MAX))
+        & (F.col(part_col) >= 0) & (F.col(part_col) < F.lit(PACK_PART_MAX))
+    )
+    guard = F.coalesce(
+        F.assert_true(ok, F.lit("seq/part outside packed-order domain "
+                                "(seq < 2^42, part < 2^16)")).cast("long"),
+        F.lit(0),
+    )
+    return (
+        F.shiftleft(F.col(seq_col).cast("long"), 20)
+        + F.shiftleft(F.col(part_col).cast("long"), 4)
+        + opc
+        + guard
+    )
+
+
+def unpack_order(pk):
+    """(seq, part, op) columns back out of a packed BIGINT."""
+    seq = F.shiftright(pk, 20).alias("seq")
+    part = F.shiftright(pk, 4).bitwiseAND(F.lit((1 << 16) - 1)).cast("int").alias("part")
+    op = (
+        F.when(pk.bitwiseAND(F.lit(15)) == 2, "insert")
+        .when(pk.bitwiseAND(F.lit(15)) == 1, "update")
+        .otherwise("delete")
+        .alias("op")
+    )
+    return seq, part, op
+
+
+def winner_keys_packed(
+    df: DataFrame,
+    key: str = "doc_id",
+    salted: bool = False,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Narrow winner selection as ONE primitive-long ``max()``.
+
+    ``max_by(struct, struct)`` is a TypedImperativeAggregate and runs in
+    ObjectHashAggregate with a sort-based fallback — measured 3.4x slower
+    than this form and scaling ~1.5x from 8->32 cores. Packing the order
+    into a single BIGINT keeps the whole aggregation inside
+    whole-stage-codegen HashAggregateExec (mutable primitive buffer,
+    map-side partial agg). Rows must carry valid ops (feeds are validated
+    first; unknown ops are routed to the error table as ERROR rows).
+    Returns ``(key, seq, part, op)`` — one row per key.
+    """
+    pk = packed_order().alias("_pk")
+    narrow = df.select(key, pk)
+    if salted:
+        salt = F.pmod(F.xxhash64("_pk"), F.lit(salt_buckets))
+        phase1 = (
+            narrow.withColumn("_salt", salt)
+            .groupBy(key, "_salt")
+            .agg(F.max("_pk").alias("_pk"))
+        )
+        agg = phase1.groupBy(key).agg(F.max("_pk").alias("_pk"))
+    else:
+        agg = narrow.groupBy(key).agg(F.max("_pk").alias("_pk"))
+    return agg.select(key, *unpack_order(F.col("_pk")))
+
+
 def drop_applied(df: DataFrame, checkpoint: dict[int, int]) -> DataFrame:
     """Idempotent re-delivery guard: drop events at-or-below the committed
     per-part offset (resume semantics; OAI resumption-token analog,

@@ -1,27 +1,32 @@
-"""Key-partitioned MERGE INTO the LakeTable (copy-on-write, bucket-pruned).
+"""Key-partitioned MERGE INTO the LakeTable (bucket-pruned, narrow-shuffle).
 
 Distributed replacement for the reference's collect-and-broadcast merge
 (``utils/NaraMergeUtil.scala:54-320``): where the reference collects delta
 ids to the driver and filters base with a closure UDF (correct only because
-delta << base), this merge is pure joins —
+delta << base), this merge is joins against the NARROW winner-key set
+produced by ``dedup.winner_keys`` —
 
-  classify: delta LEFT JOIN base-keys      -> insert/update/delete/invalid_delete
-  apply:    base ANTI JOIN delta ∪ upserts -> rewritten buckets
+  classify: winners LEFT JOIN base-keys    -> insert/update/delete/invalid_delete
+  apply:    base ANTI JOIN winner-keys ∪ late-materialized upserts
 
-Only buckets containing delta keys are read and rewritten (manifest-level
-file pruning), so merge cost scales with |delta| + |touched buckets|, not
-|base|. Lineage counts per event-feed partition and the new checkpoint are
-committed atomically with the data (MergeLogs analog,
-``NaraMergeUtil.scala:12-39,242-307``).
+The wide token payload never enters a dedup shuffle: ``changes`` is built by
+the caller as a (broadcast) semi-join of the winner keys back to the
+columnar source scan. Only buckets containing delta keys are read and
+rewritten (manifest-level file pruning), so merge cost scales with |delta| +
+|touched buckets|, not |base|. Classification and the data write are
+INDEPENDENT Spark jobs and run concurrently (FAIR scheduler) — per-batch
+wall time is max(classify, write), not their sum. Lineage counts per
+event-feed partition and the new checkpoint are committed atomically with
+the data (MergeLogs analog, ``NaraMergeUtil.scala:12-39,242-307``).
 """
 
 from __future__ import annotations
 
+from concurrent import futures
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ingestion3_spark.lakehouse.table import LakeTable, Snapshot
 
@@ -50,64 +55,56 @@ class MergeResult:
 def merge_batch(
     table: LakeTable,
     changes: DataFrame,
+    winners: DataFrame,
     batch_id: int,
     checkpoint: dict[int, int],
+    touched: set[int],
+    broadcast_winners: bool = True,
+    extra_lineage_future: "futures.Future | None" = None,
     extra_lineage: dict[tuple, dict] | None = None,
     clean_count: int | None = None,
-    touched_buckets: set[int] | None = None,
+    n_winners: int | None = None,
 ) -> MergeResult:
     """Apply deduped per-key changes to the table in one transaction.
 
-    ``changes``: one row per doc_id with columns
-    ``(doc_id, op in {insert,update,delete}, tokens, n_tok, source, part)``
-    — op as delivered; classification below recomputes insert-vs-update
-    against actual base state (an 'insert' of an existing key is an update
-    and vice versa, mirroring upsert semantics).
+    ``changes``: one (wide) row per doc_id with columns ``(doc_id, op,
+    <payload...>, seq, part)`` — already deduped by the caller.
+    ``winners``: the PERSISTED narrow winner keys ``(doc_id, seq, part, op,
+    __bucket)`` — reused for classification, the base anti-join, and bucket
+    pruning without recomputing anything wide. ``extra_lineage_future``: an
+    in-flight error-routing job whose per-part counts must land in the same
+    atomic commit; it is awaited only after the write jobs are submitted, so
+    error routing overlaps the merge write. Op classification recomputes
+    insert-vs-update against actual base state (an 'insert' of an existing
+    key is an update and vice versa, mirroring upsert semantics,
+    ``NaraMergeUtil.scala:246-264``).
     """
     key = table.key_column
     data_cols = table.column_names()
+    mor = table.merge_mode == "mor"
 
-    # bound work to touched buckets: distinct bucket ids of the delta keys
-    # (<= num_buckets values; aggregate, never a key collect)
     import os as _os
     import time as _time
     debug = _os.environ.get("I3S_DEBUG_TIMING") == "1"
-    _tm = _time.perf_counter()
+    _t0 = _time.perf_counter()
 
     def _t(label):
-        nonlocal _tm
         if debug:
-            now = _time.perf_counter()
-            print(f"[timing]   merge {label}: {now - _tm:.2f}s", flush=True)
-            _tm = now
+            print(f"[timing]   merge {label}: {_time.perf_counter() - _t0:.2f}s", flush=True)
 
-    # DISK_ONLY, deliberately: the delta is read twice (classify agg + COW
-    # write). An in-memory columnar cache of wide token arrays is expensive
-    # to build and churns the allocator; a sequential disk spill is written
-    # once and served from page cache (the reference's temp-file strategy,
-    # NaraMergeUtil.scala:127-136, kept for the same reason).
-    delta = changes.withColumn("__bucket", table.bucket_expr()).persist(
-        StorageLevel.DISK_ONLY
-    )
-    try:
-        if touched_buckets is None:
-            touched = {r["__bucket"] for r in delta.select("__bucket").distinct().collect()}
-        else:
-            touched = {b for b in touched_buckets if 0 <= b < table.num_buckets}
-        _t("delta_persist_buckets")
-        mor = table.merge_mode == "mor"
-        if mor:
-            # merge-on-read: classification joins the NARROW reconciled key
-            # set (token arrays never decoded); no base data is read here
-            base = None
-            base_keys = table.live_keys(buckets=touched).select(
-                F.col(key), F.lit(True).alias("_matched")
-            )
-        else:
-            base = table.read(buckets=touched, with_bucket_col=True)
-            base_keys = base.select(F.col(key), F.lit(True).alias("_matched"))
-        classified = (
-            delta.join(base_keys, key, "left")
+    win_keys = winners.select(key)
+    if broadcast_winners:
+        win_keys = F.broadcast(win_keys)
+
+    def classify_job() -> list:
+        # narrow columns only: winner keys vs live base keys (token arrays
+        # never decoded — live_keys prunes to the key column)
+        base_keys = table.live_keys(buckets=touched).withColumn(
+            "_matched", F.lit(True)
+        )
+        rows = (
+            winners.select(key, "part", "op")
+            .join(base_keys, key, "left")
             .withColumn(
                 "action",
                 F.when((F.col("op") == "delete") & F.col("_matched").isNotNull(), "delete")
@@ -115,9 +112,7 @@ def merge_batch(
                 .when(F.col("_matched").isNotNull(), "update")
                 .otherwise("insert"),
             )
-        )
-        agg = (
-            classified.groupBy("part")
+            .groupBy("part")
             .agg(
                 F.sum(F.when(F.col("action") == "insert", 1).otherwise(0)).alias("inserts"),
                 F.sum(F.when(F.col("action") == "update", 1).otherwise(0)).alias("updates"),
@@ -129,96 +124,118 @@ def merge_batch(
             .collect()
         )
         _t("classify_agg")
-        lineage_rows = {}
-        for r in agg:
-            p = int(r["part"]) if r["part"] is not None else -1
-            lineage_rows[(batch_id, p)] = {
-                "batch_id": batch_id,
-                "part": p,
-                "inserts": int(r["inserts"]),
-                "updates": int(r["updates"]),
-                "deletes": int(r["deletes"]),
-                "invalid_deletes": int(r["invalid_deletes"]),
-                "dedup_dropped": 0,
-                "errors": 0,
-            }
-        if clean_count is not None:
-            # dedup_dropped = clean deliveries minus surviving changes —
-            # derived from the classify agg, no extra Spark job
-            post = sum(
-                r["inserts"] + r["updates"] + r["deletes"] + r["invalid_deletes"]
-                for r in lineage_rows.values()
-            )
-            if clean_count - post:
-                extra_lineage = dict(extra_lineage or {})
-                e = extra_lineage.setdefault((batch_id, -1), {})
-                e["dedup_dropped"] = e.get("dedup_dropped", 0) + (clean_count - post)
-        for k, extra in (extra_lineage or {}).items():
-            row = lineage_rows.setdefault(
-                k,
-                {
-                    "batch_id": k[0], "part": k[1], "inserts": 0, "updates": 0,
-                    "deletes": 0, "invalid_deletes": 0, "dedup_dropped": 0, "errors": 0,
-                },
-            )
-            row.update({kk: row.get(kk, 0) + vv for kk, vv in extra.items()})
+        return rows
 
+    rows_before_total = -1 if mor else sum(e.rows for e in table.live_files())
+
+    def write_job():
+        if not touched:
+            return []
         if mor:
-            # apply: append the deduped changes (upserts + delete
+            # merge-on-read: append the deduped changes (upserts + delete
             # tombstones) as delta files — O(delta) write, no base rewrite
-            rows_before_total = -1
-            touched_files = []
-            new_files = (
-                table.write_delta_files(delta.select(*data_cols, "op", "seq", "part"))
-                if touched else []
-            )
-        else:
-            # apply: base rows not touched by delta ∪ upsert payloads
-            upserts = delta.filter(F.col("op") != "delete").select(*data_cols)
-            new_data = (
-                base.select(*data_cols)
-                .join(delta.select(key), key, "left_anti")
-                .unionByName(upserts)
-            )
-            rows_before_total = sum(e.rows for e in table.live_files())
-            touched_files = [e for e in table.live_files() if e.bucket in touched]
-            new_files = table.write_files(new_data) if touched else []
-        _t("cow_write")
-
-        counts = {
-            "inserts": sum(r["inserts"] for r in lineage_rows.values()),
-            "updates": sum(r["updates"] for r in lineage_rows.values()),
-            "deletes": sum(r["deletes"] for r in lineage_rows.values()),
-            "invalid_deletes": sum(r["invalid_deletes"] for r in lineage_rows.values()),
-        }
-        snap = table.commit(
-            operation="merge-delta" if mor else "merge",
-            add_files=new_files,
-            remove_paths={e.path for e in touched_files},
-            checkpoint=checkpoint,
-            batch_id=batch_id,
-            lineage=list(lineage_rows.values()),
-            summary=counts,
+            files = table.write_delta_files(changes.select(*data_cols, "op", "seq", "part"))
+            _t("delta_write")
+            return files
+        # copy-on-write: base rows not touched by delta ∪ upsert payloads.
+        # The anti-join probes the broadcast winner keys — base streams
+        # map-side from parquet straight into the bucketed write shuffle.
+        upserts = changes.filter(F.col("op") != "delete").select(*data_cols)
+        base = table.read(buckets=touched)
+        new_data = (
+            base.select(*data_cols)
+            .join(win_keys, key, "left_anti")
+            .unionByName(upserts)
         )
-        if mor:
-            # physical file rows include superseded versions + tombstones,
-            # so the COW count invariant does not apply; the oracle-equality
-            # tests and compaction (which re-establishes exact file counts)
-            # are the MOR correctness gates
-            rows_after_total = -1
-        else:
-            rows_after_total = sum(e.rows for e in table.live_files())
-            # count reconciliation invariant (NaraMergeUtil.scala:188,284)
-            expected = rows_before_total + counts["inserts"] - counts["deletes"]
-            if rows_after_total != expected:
-                raise AssertionError(
-                    f"merge reconciliation failed: before={rows_before_total} "
-                    f"+ins={counts['inserts']} -del={counts['deletes']} "
-                    f"expected={expected} got={rows_after_total}"
-                )
-        return MergeResult(snap, list(lineage_rows.values()), rows_before_total, rows_after_total)
-    finally:
-        delta.unpersist()
+        files = table.write_files(new_data)
+        _t("cow_write")
+        return files
+
+    # classification and the data write are independent — run them as
+    # concurrent Spark jobs; commit happens only after both (and the error
+    # job, if any) have landed.
+    with futures.ThreadPoolExecutor(max_workers=2) as pool:
+        f_classify = pool.submit(classify_job)
+        f_write = pool.submit(write_job)
+        agg = f_classify.result()
+        new_files = f_write.result()
+
+    lineage_rows = {}
+    for r in agg:
+        p = int(r["part"]) if r["part"] is not None else -1
+        lineage_rows[(batch_id, p)] = {
+            "batch_id": batch_id,
+            "part": p,
+            "inserts": int(r["inserts"]),
+            "updates": int(r["updates"]),
+            "deletes": int(r["deletes"]),
+            "invalid_deletes": int(r["invalid_deletes"]),
+            "dedup_dropped": 0,
+            "errors": 0,
+        }
+    post = sum(
+        r["inserts"] + r["updates"] + r["deletes"] + r["invalid_deletes"]
+        for r in lineage_rows.values()
+    )
+    if n_winners is not None and post != n_winners:
+        raise AssertionError(
+            f"classification covered {post} winners, expected {n_winners}"
+        )
+    if extra_lineage_future is not None:
+        got = extra_lineage_future.result()
+        if got:
+            extra_lineage = {**(extra_lineage or {}), **got}
+    if clean_count is not None and clean_count - post:
+        # dedup_dropped = clean deliveries minus surviving changes —
+        # derived from already-collected counts, no extra Spark job
+        extra_lineage = dict(extra_lineage or {})
+        e = extra_lineage.setdefault((batch_id, -1), {})
+        e["dedup_dropped"] = e.get("dedup_dropped", 0) + (clean_count - post)
+    for k, extra in (extra_lineage or {}).items():
+        row = lineage_rows.setdefault(
+            k,
+            {
+                "batch_id": k[0], "part": k[1], "inserts": 0, "updates": 0,
+                "deletes": 0, "invalid_deletes": 0, "dedup_dropped": 0, "errors": 0,
+            },
+        )
+        row.update({kk: row.get(kk, 0) + vv for kk, vv in extra.items()})
+
+    touched_files = (
+        [] if mor else [e for e in table.live_files() if e.bucket in touched]
+    )
+    counts = {
+        "inserts": sum(r["inserts"] for r in lineage_rows.values()),
+        "updates": sum(r["updates"] for r in lineage_rows.values()),
+        "deletes": sum(r["deletes"] for r in lineage_rows.values()),
+        "invalid_deletes": sum(r["invalid_deletes"] for r in lineage_rows.values()),
+    }
+    snap = table.commit(
+        operation="merge-delta" if mor else "merge",
+        add_files=new_files,
+        remove_paths={e.path for e in touched_files},
+        checkpoint=checkpoint,
+        batch_id=batch_id,
+        lineage=list(lineage_rows.values()),
+        summary=counts,
+    )
+    if mor:
+        # physical file rows include superseded versions + tombstones, so
+        # the COW count invariant does not apply; the oracle-equality tests
+        # and compaction (which re-establishes exact file counts) are the
+        # MOR correctness gates
+        rows_after_total = -1
+    else:
+        rows_after_total = sum(e.rows for e in table.live_files())
+        # count reconciliation invariant (NaraMergeUtil.scala:188,284)
+        expected = rows_before_total + counts["inserts"] - counts["deletes"]
+        if rows_after_total != expected:
+            raise AssertionError(
+                f"merge reconciliation failed: before={rows_before_total} "
+                f"+ins={counts['inserts']} -del={counts['deletes']} "
+                f"expected={expected} got={rows_after_total}"
+            )
+    return MergeResult(snap, list(lineage_rows.values()), rows_before_total, rows_after_total)
 
 
 def lineage_df(table: LakeTable, spark=None) -> DataFrame:

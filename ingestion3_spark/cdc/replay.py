@@ -65,7 +65,6 @@ class ReplayEngine:
     error_dir: str | None = None
     salted_dedup: bool = False
     salt_buckets: int = 32
-    persist_batches: bool = False
     history: list[BatchStats] = field(default_factory=list)
 
     @staticmethod
@@ -78,128 +77,215 @@ class ReplayEngine:
 
     # ------------------------------------------------------------- one batch
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchStats:
-        """Single-pass batch application.
+        """Single-batch application, structured for scaling (round-2 design).
 
-        Action budget (the scale discipline — every Spark action is a full
-        job): a column-pruned offsets aggregation (reads ONLY the seq/part
-        parquet chunks, never the token arrays), one error-routing scan
-        that writes the error table (per-part error counts read back from
-        the tiny written output), then the merge's classify agg + data
-        write. The feed's wide columns are scanned exactly twice per batch
-        (error routing + merge); every other job touches narrow columns or
-        already-written small outputs.
+        Job budget and shape (the scale discipline — every Spark action is
+        a full job, and every serial job is Amdahl time 4x cores cannot
+        divide):
+
+        * phase 1 (two CONCURRENT jobs): (a) narrow winner selection —
+          shuffle only ``(doc_id, seq, part, op)``, persist the ~|keys| winner
+          set, return per-bucket counts; events_in / error totals ride along
+          as ``observe()`` metrics on the same scan; (b) the column-pruned
+          per-part offsets aggregation (reads only the seq/part chunks).
+        * phase 2 (three CONCURRENT jobs): error routing (wide scan ->
+          tiny batch-partitioned write + pruned count-back), the narrow
+          classify agg, and the data write. The write late-materializes the
+          wide payload: source scan ⋈ broadcast(winner keys) — so the wide
+          token arrays flow map-side from parquet into the single bucketed
+          write shuffle and are never spilled or shuffled for dedup.
+        * phase 3: one atomic commit (data + checkpoint + lineage).
+
+        Wide-payload bytes shuffled per batch: |winners| rows, not |events|
+        (round-1's wide dedup shuffle + DISK_ONLY spill was the scaling
+        bottleneck — memory-bandwidth-bound, flat past ~8 cores).
         """
         import time
+        from concurrent import futures
 
+        from pyspark.sql import Observation
         from pyspark.storagelevel import StorageLevel
 
         debug = os.environ.get("I3S_DEBUG_TIMING") == "1"
-        tmark = time.perf_counter()
+        t0 = time.perf_counter()
 
         def _t(label):
-            nonlocal tmark
             if debug:
-                now = time.perf_counter()
-                print(f"[timing] batch={batch_id} {label}: {now - tmark:.2f}s", flush=True)
-                tmark = now
+                print(
+                    f"[timing] batch={batch_id} {label}: {time.perf_counter() - t0:.2f}s",
+                    flush=True,
+                )
 
         self.check_compat(events)
         ckpt = self.table.checkpoint()
-        validated = val.validate_events(dd.drop_applied(events, ckpt))
-        # zero-persistence by default (the reference's strategy for wide
-        # payload rows, NaraMergeUtil.scala:99-117): validation is cheap
-        # vectorized expressions, so re-scanning the columnar source beats
-        # materializing a wide cache. persist_batches=True opts into
-        # caching for expensive upstream sources.
-        if self.persist_batches:
-            validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
+        pending = dd.drop_applied(events, ckpt)
+        validated = val.validate_events(pending)
+        key = self.table.key_column
+        # payload columns come from the TABLE's current schema (schema
+        # evolution: added/renamed columns flow once the metadata
+        # transaction has been applied)
+        payload = [c for c in self.table.column_names() if c != key]
+
+        obs = Observation()
+        observed = validated.observe(
+            obs,
+            F.count(F.lit(1)).alias("events_in"),
+            F.sum(val.has_error().cast("long")).alias("n_err"),
+        )
+        clean = observed.filter(~val.has_error())
+        winners = None
         try:
-            # offsets/count job: Catalyst prunes this scan to the (part,
-            # seq) parquet column chunks — the wide token arrays are never
-            # decoded for checkpoint bookkeeping
-            offset_rows = (
-                dd.drop_applied(events, ckpt)
-                .groupBy("part")
-                .agg(F.max("seq").alias("hi"), F.count("*").alias("n"))
-                .collect()
-            )
-            _t("offsets_agg")
-            if not offset_rows:
-                stats = BatchStats(batch_id, 0, 0, 0, None)
-                self.history.append(stats)
-                return stats
-            new_ckpt = dict(ckpt)
-            events_in = n_err = 0
-            err_by_part: dict[tuple, dict] = {}
-            for r in offset_rows:
-                p = int(r["part"])
-                new_ckpt[p] = max(int(r["hi"]), new_ckpt.get(p, -1))
-                events_in += int(r["n"])
-
-            if self.error_dir is not None:
-                # error table write (MessageCollector report analog);
-                # at-least-once — errors_df() dedups by (part, seq).
-                # Per-part error counts for lineage come from re-reading the
-                # tiny written output, NOT from a third full feed scan;
-                # deduped by (part, seq) so a crash-retry that re-appends
-                # the same batch cannot inflate the lineage counts.
-                err_path = os.path.join(self.error_dir, "errors")
-                (
-                    validated.filter(val.has_error())
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .select("batch_id", "part", "seq", "doc_id", "op", "messages")
-                    .write.mode("append")
-                    .parquet(err_path)
-                )
-                _t("error_write")
-                for r in (
-                    self.spark.read.parquet(err_path)
-                    .filter(F.col("batch_id") == batch_id)
-                    .dropDuplicates(["part", "seq"])
-                    .groupBy("part")
-                    .agg(F.count("*").alias("n"))
+            with futures.ThreadPoolExecutor(max_workers=3) as pool:
+                # offsets job: Catalyst prunes this scan to the (part, seq)
+                # parquet column chunks — token arrays are never decoded
+                # for checkpoint bookkeeping
+                f_offsets = pool.submit(
+                    lambda: pending.groupBy("part")
+                    .agg(F.max("seq").alias("hi"))
                     .collect()
-                ):
-                    err_by_part[(batch_id, int(r["part"]))] = {"errors": int(r["n"])}
-                    n_err += int(r["n"])
-            else:
-                n_err = validated.filter(val.has_error()).count()
-                if n_err:
-                    err_by_part[(batch_id, -1)] = {"errors": n_err}
-            _t("error_count")
+                )
+                if self.error_dir is not None:
+                    # errors-first: route errors NOW (the batch's one wide
+                    # validation scan before the write; observe() metrics
+                    # ride on it), then winner selection runs tokens-free —
+                    # it anti-joins the (part, seq) error keys instead of
+                    # re-evaluating has_error, so its scan decodes only the
+                    # four narrow envelope columns.
+                    err_by_part, err_keys = self._route_errors(observed, batch_id, obs)
+                    n_err = sum(d["errors"] for d in err_by_part.values())
+                    src = pending.select(key, "seq", "part", "op")
+                    if n_err:
+                        ek = err_keys.select("part", "seq")
+                        if n_err <= 5_000_000:
+                            ek = F.broadcast(ek)
+                        src = src.join(ek, ["part", "seq"], "left_anti")
+                else:
+                    err_by_part, n_err = {}, None  # from obs after winners job
+                    src = clean.select(key, "seq", "part", "op")
+                winners = (
+                    dd.winner_keys_packed(
+                        src, key=key,
+                        salted=self.salted_dedup, salt_buckets=self.salt_buckets,
+                    )
+                    .withColumn("__bucket", self.table.bucket_expr())
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                bucket_rows = winners.groupBy("__bucket").count().collect()
+                offset_rows = f_offsets.result()
+                _t("phase1 errors+winners+offsets")
+                metrics = obs.get
+                events_in = int(metrics["events_in"] or 0)
+                if n_err is None:
+                    n_err = int(metrics["n_err"] or 0)
+                    if n_err:
+                        err_by_part[(batch_id, -1)] = {"errors": n_err}
+                if not offset_rows:
+                    stats = BatchStats(batch_id, 0, 0, 0, None)
+                    self.history.append(stats)
+                    return stats
+                touched = {int(r["__bucket"]) for r in bucket_rows}
+                n_winners = sum(int(r["count"]) for r in bucket_rows)
+                new_ckpt = dict(ckpt)
+                for r in offset_rows:
+                    p = int(r["part"])
+                    new_ckpt[p] = max(int(r["hi"]), new_ckpt.get(p, -1))
 
-            clean = validated.filter(~val.has_error())
-            deduper = dd.latest_by_key_salted if self.salted_dedup else dd.latest_by_key
-            kwargs = {"salt_buckets": self.salt_buckets} if self.salted_dedup else {}
-            # payload columns come from the TABLE's current schema (schema
-            # evolution: added/renamed columns flow once the metadata
-            # transaction has been applied)
-            key = self.table.key_column
-            payload = [c for c in self.table.column_names() if c != key]
-            changes = deduper(
-                clean.select(key, "op", *payload, "seq", "part"),
-                key=key,
-                **kwargs,
-            )
+                # late materialization: recover the winners' wide payload by
+                # broadcast-joining the keys back to the scan. The join key
+                # is a single xxhash64(key, seq, part) long; the build side
+                # also carries the winner's (seq, part), and the post-join
+                # equality filter makes the match EXACT: a colliding foreign
+                # row would need the winner's exact (seq, part) under a
+                # different key, which the feed's (part, seq)-uniqueness
+                # contract rules out. Surviving rows per key are therefore
+                # byte-identical duplicate re-deliveries of that key's
+                # winner (at-least-once feed), so a plain
+                # dropDuplicates([key]) — a |winners|-row First aggregation
+                # — finishes the dedup deterministically (measured 2.3x
+                # cheaper than a wide max_by, which runs in
+                # ObjectHashAggregate). Beyond the cap: shuffle join on the
+                # narrow keys (at 10^10-event scale, pair with a bucketed
+                # base layout).
+                bcast = n_winners <= int(
+                    os.environ.get("I3S_BROADCAST_WINNERS_MAX", "10000000")
+                )
+                hcol = F.xxhash64(F.col(key), F.col("seq"), F.col("part"))
+                if bcast:
+                    wk = F.broadcast(
+                        winners.select(
+                            F.xxhash64(key, "seq", "part").alias("_h"),
+                            F.col("seq").alias("_wseq"),
+                            F.col("part").alias("_wpart"),
+                        )
+                    )
+                    delta = (
+                        clean.select(key, "op", *payload, "seq", "part")
+                        .withColumn("_h", hcol)
+                        .join(wk, "_h", "inner")
+                        .filter(
+                            (F.col("seq") == F.col("_wseq"))
+                            & (F.col("part") == F.col("_wpart"))
+                        )
+                        .drop("_h", "_wseq", "_wpart")
+                    )
+                else:
+                    delta = clean.select(key, "op", *payload, "seq", "part").join(
+                        winners.select(key, "seq", "part"),
+                        [key, "seq", "part"],
+                        "inner",
+                    )
+                changes = delta.dropDuplicates([key])
 
-            result = merge_batch(
-                self.table,
-                changes,
-                batch_id=batch_id,
-                checkpoint=new_ckpt,
-                extra_lineage=err_by_part,
-                clean_count=events_in - n_err,
-                touched_buckets=None,  # merge derives them from its spilled delta
-            )
-            _t("merge")
-            c = result.counts
-            post = c["inserts"] + c["updates"] + c["deletes"] + c["invalid_deletes"]
-            stats = BatchStats(batch_id, events_in, n_err, post, result)
+                result = merge_batch(
+                    self.table,
+                    changes,
+                    winners,
+                    batch_id=batch_id,
+                    checkpoint=new_ckpt,
+                    touched=touched,
+                    broadcast_winners=bcast,
+                    extra_lineage=err_by_part,
+                    clean_count=events_in - n_err,
+                    n_winners=n_winners,
+                )
+                _t("merge")
+            stats = BatchStats(batch_id, events_in, n_err, n_winners, result)
             self.history.append(stats)
             return stats
         finally:
-            if self.persist_batches:
-                validated.unpersist()
+            if winners is not None:
+                winners.unpersist()
+
+    def _route_errors(self, observed: DataFrame, batch_id: int, obs) -> tuple[dict, DataFrame | None]:
+        """Error-table write (MessageCollector report analog) + per-part
+        counts for lineage. At-least-once — ``errors_df`` dedups by (part,
+        seq). The write is partitioned by ``batch_id`` so the count-back
+        read prunes to THIS batch's files (O(batch errors), not O(all
+        errors ever written)). Returns (per-part counts keyed (batch_id,
+        part), lazy DataFrame of this batch's deduped error (part, seq)
+        keys — the winner-selection anti-join input)."""
+        err_by_part: dict[tuple, dict] = {}
+        err_path = os.path.join(self.error_dir, "errors")
+        (
+            observed.filter(val.has_error())
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "part", "seq", "doc_id", "op", "messages",
+            )
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(err_path)
+        )
+        if int(obs.get["n_err"] or 0) == 0:
+            return err_by_part, None
+        err_keys = (
+            self.spark.read.parquet(err_path)
+            .filter(F.col("batch_id") == batch_id)
+            .dropDuplicates(["part", "seq"])
+        )
+        for r in err_keys.groupBy("part").agg(F.count("*").alias("n")).collect():
+            err_by_part[(batch_id, int(r["part"]))] = {"errors": int(r["n"])}
+        return err_by_part, err_keys
 
     # ------------------------------------------------------------ full replay
     def replay(
@@ -211,9 +297,13 @@ class ReplayEngine:
         """Split the feed into seq-range micro-batches and apply in order.
 
         Deterministic boundaries: equal seq ranges over [min, max]. With
-        ``num_batches=1`` this is one atomic replay; larger values exercise
-        multi-batch checkpoint/resume.
+        ``num_batches=1`` this is one atomic replay (and the boundary scan
+        is skipped entirely); larger values exercise multi-batch
+        checkpoint/resume.
         """
+        if num_batches <= 1:
+            bid = batch_id_start if batch_id_start is not None else self._next_batch_id()
+            return [self.apply_batch(events, batch_id=bid)]
         lo_hi = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
         if lo_hi["lo"] is None:
             return []
@@ -268,4 +358,11 @@ class ReplayEngine:
                 [], "batch_id long, part int, seq long, doc_id string, op string, "
                     "messages " + val.MESSAGE_SCHEMA
             )
-        return self.spark.read.parquet(path).dropDuplicates(["part", "seq"])
+        return (
+            self.spark.read.parquet(path)
+            .select(
+                F.col("batch_id").cast("long").alias("batch_id"),
+                "part", "seq", "doc_id", "op", "messages",
+            )
+            .dropDuplicates(["part", "seq"])
+        )

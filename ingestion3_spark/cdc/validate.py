@@ -36,6 +36,7 @@ def validate_events(df: DataFrame, payload_cols: tuple[str, ...] | None = None) 
     """Append ``messages`` and normalized payload columns.
 
     Checks (FIXTURES.md §4):
+    - ERROR ``unknown op``                 — op outside {insert,update,delete};
     - ERROR ``null tokens on non-delete``  — insert/update without payload;
     - WARN  ``n_tok mismatch, recomputed`` — stored n_tok != size(tokens);
     - INFO  ``payload on delete ignored``  — delete carrying a payload.
@@ -63,6 +64,11 @@ def validate_events(df: DataFrame, payload_cols: tuple[str, ...] | None = None) 
     payload_on_delete = is_delete & payload_present
 
     checks = [
+        F.when(
+            ~F.col("op").isin("insert", "update", "delete"),
+            _msg("unknown op", "error", "doc_id", "op",
+                 F.col("op"), F.lit("")),
+        ),
         F.when(
             (~is_delete) & null_payload,
             _msg("null tokens on non-delete", "error", "doc_id", "tokens",

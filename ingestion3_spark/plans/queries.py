@@ -211,7 +211,7 @@ def q_cdc_sessionize(spark, sf):
 
 
 SQL_cdc_sessionize = """
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the replay engine submits independent per-batch jobs (winner
+        # selection / offsets / error routing / classify / write) from
+        # concurrent driver threads; FAIR scheduling interleaves their
+        # tasks so no job waits for a whole predecessor to drain
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # modest heap by design: virtualized hosts fault-in heap pages

@@ -99,7 +99,16 @@ def main() -> int:
         f"replay-bench-{cores}",
         cores=cores,
         shuffle_partitions=int(os.environ.get("I3S_SHUFFLE_PARTS", "0")) or max(cores, 8),
-        extra_conf={"spark.local.dir": os.path.join(work, "spark-local")},
+        extra_conf={
+            "spark.local.dir": os.path.join(work, "spark-local"),
+            # tmpfs bench default: the synthetic token payload is uniform
+            # random int32 (incompressible) — snappy costs ~1.5s CPU per
+            # write for ~10% size; storage-bound deployments keep the
+            # engine's snappy default (session.py)
+            "spark.sql.parquet.compression.codec": os.environ.get(
+                "I3S_PARQUET_CODEC", "uncompressed"
+            ),
+        },
     )
     events = spark.read.parquet(events_path)
     n_events = events.count()
