@@ -40,6 +40,21 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return fp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
 
+# ------------------------------------------------------- portable 64-bit hash
+def portable_hash64(col):
+    """Engine-portable 64-bit hash: first 8 md5 bytes, little-endian, as a
+    signed long. Bit-identical to DuckDB's ``md5_number_upper`` (signed
+    view), so sketches built on it keep a cross-engine SQL oracle —
+    xxhash64 (the fast default) has no DuckDB counterpart. Cost: one
+    MessageDigest per value (JVM-side, no Python)."""
+    hx = F.md5(F.col(col) if isinstance(col, str) else col.cast("string"))
+    # little-endian: reverse the byte pairs of each 8-hex-char half
+    def le32(start):  # 4 bytes from hex offset `start`, little-endian
+        rev = F.concat(*[F.substring(hx, start + 6 - 2 * j, 2) for j in range(4)])
+        return F.conv(rev, 16, 10).cast("long")
+    return F.shiftleft(le32(9), 32).bitwiseOR(le32(1))
+
+
 # ---------------------------------------------------------------- shingles
 def shingles(col, n: int = 3):
     """Word n-gram shingle array (distinct)."""
@@ -59,6 +74,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -67,6 +83,16 @@ def ngram_jaccard_pairs(
     counts via groupBy) — never a full cross join. At 100TB the shingle join
     is the shuffle; shingle strings are replaced by xxhash64 values to keep
     exchange rows narrow.
+
+    ``max_shingle_df`` drops shingles occurring in more than that many docs
+    BEFORE the self-join: a boilerplate shingle shared by k docs otherwise
+    contributes k^2 join rows — the quadratic hot key that kills the plan
+    at scale. Sizes (`sz`) still count every shingle, so for a true pair
+    the computed Jaccard can only DROP when a shared stop-shingle is
+    capped — i.e. the >= threshold guarantee keeps precision (no false
+    pairs) and trades bounded recall on pairs whose overlap is mostly
+    boilerplate (recall is exact whenever doc frequency of every shared
+    shingle <= the cap). Set None to disable.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -78,9 +104,17 @@ def ngram_jaccard_pairs(
     # payload rows; sketch intermediates are the opposite shape)
     sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        joinable = sh.join(F.broadcast(hot), "sh", "left_anti")
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
+        joinable.alias("a")
+        .join(joinable.alias("b"), "sh")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -95,12 +129,16 @@ def ngram_jaccard_pairs(
 
 
 # ----------------------------------------------------------------- minhash
-def shingle_hashes(col, shingle_n: int = 3):
-    """Each distinct shingle hashed ONCE to 64 bits (JVM-side xxhash64).
+def shingle_hashes(col, shingle_n: int = 3, portable: bool = False):
+    """Each distinct shingle hashed ONCE to 64 bits (JVM-side).
 
     Downstream sketches (minhash/simhash) work on these longs — never
-    re-hashing the strings k times."""
-    return F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
+    re-hashing the strings k times. ``portable=True`` swaps xxhash64 for
+    the md5-based :func:`portable_hash64` so the whole sketch keeps a
+    DuckDB oracle (the correctness-gate configuration); the default stays
+    xxhash64 (~10x cheaper per shingle)."""
+    hash_fn = portable_hash64 if portable else F.xxhash64
+    return F.transform(shingles(col, shingle_n), lambda s: hash_fn(s))
 
 
 def _splitmix_mins(hashes, num_hashes: int):
@@ -109,7 +147,9 @@ def _splitmix_mins(hashes, num_hashes: int):
     Vectorized across the WHOLE Arrow batch (flatten all rows' hash arrays,
     one (m x k) mix, per-row mins via np.minimum.reduceat) — the per-row
     Python loop was ~2 ms/row of interpreter overhead, which dominated the
-    sketch queries. Chunked so the (m x k) temp stays ~256 MB max."""
+    sketch queries. Chunk boundaries are by cumulative ELEMENT count (sum
+    of array lens), not row count, so the (sum_lens x k) temp is actually
+    bounded (~256 MB) for long-document batches too."""
     import numpy as np
     import pandas as pd
 
@@ -118,9 +158,16 @@ def _splitmix_mins(hashes, num_hashes: int):
     lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
     out: list = [None] * len(arrs)
     nz_idx = np.nonzero(lens > 0)[0]
-    chunk = max(1, (1 << 25) // max(num_hashes, 1))  # ~32M mixed elements
-    for c0 in range(0, len(nz_idx), chunk):
-        idx = nz_idx[c0 : c0 + chunk]
+    max_elems = max(1, (1 << 25) // max(num_hashes, 1))  # ~32M mixed cells
+    cum = np.cumsum(lens[nz_idx])
+    bounds = [0]
+    while bounds[-1] < len(nz_idx):
+        lo = bounds[-1]
+        base = cum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum, base + max_elems, side="left")) + 1
+        bounds.append(min(max(hi, lo + 1), len(nz_idx)))
+    for c0, c1 in zip(bounds[:-1], bounds[1:]):
+        idx = nz_idx[c0:c1]
         flat = np.concatenate([np.asarray(arrs[i], dtype=np.int64) for i in idx]).astype(np.uint64)
         h = flat[:, None] ^ seeds[None, :]
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -144,15 +191,16 @@ def minhash_signature_udf(num_hashes: int = 64):
     return sig
 
 
-def minhash_signature(col, num_hashes: int = 64, shingle_n: int = 3):
+def minhash_signature(col, num_hashes: int = 64, shingle_n: int = 3,
+                      portable: bool = False):
     """MinHash signature over word shingles.
 
-    Hybrid plan: shingle strings hashed once JVM-side (xxhash64), then the
-    k permutations are a numpy splitmix64 mix inside an Arrow-batched
-    pandas UDF — O(n_shingles x k) integer SIMD, no per-bit expression
-    blowup (the pure-expression form generated 2MB task binaries and ran
-    ~50x slower)."""
-    return minhash_signature_udf(num_hashes)(shingle_hashes(col, shingle_n))
+    Hybrid plan: shingle strings hashed once JVM-side (xxhash64, or the
+    md5-based portable hash), then the k permutations are a numpy
+    splitmix64 mix inside an Arrow-batched pandas UDF — O(n_shingles x k)
+    integer SIMD, no per-bit expression blowup (the pure-expression form
+    generated 2MB task binaries and ran ~50x slower)."""
+    return minhash_signature_udf(num_hashes)(shingle_hashes(col, shingle_n, portable))
 
 
 def minhash_lsh_candidates(
@@ -162,25 +210,35 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL rows of
     at least one band. rows-per-band = num_hashes/bands; candidates are then
     typically verified with `ngram_jaccard_pairs` or signature similarity.
+
+    ``portable=True`` (the correctness-gate configuration) uses the
+    md5-based hash family AND verifies band equality on the actual
+    signature slices after the bucket join, so the result is exactly
+    "pairs agreeing on >=1 band" (no bucket-hash false positives) and
+    matches the DuckDB all-pairs oracle.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"))
+                    minhash_signature(F.col(text_col), num_hashes, shingle_n,
+                                      portable).alias("sig"))
     # narrow (id, k longs) — persist so the banding self-join computes the
     # shingle+UDF signature pass once, not once per join side
     sig = sig.persist()
+    bucket_hash = portable_hash64 if portable else F.xxhash64
     banded = sig.select(
         "id",
+        F.col("sig"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    bucket_hash(
                         F.concat_ws(",", *[
                             F.element_at("sig", b * rows_per_band + r + 1)
                             for r in range(rows_per_band)
@@ -190,12 +248,20 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    return (
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    joined = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if portable:
+        # exact band equality — bucket-hash collisions cannot add pairs
+        joined = joined.filter(
+            F.slice(F.col("a.sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+            == F.slice(F.col("b.sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+        )
+    return (
+        joined.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 
@@ -232,9 +298,18 @@ def simhash64_udf():
         lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
         out = np.zeros(len(arrs), dtype=np.int64)
         nz_idx = np.nonzero(lens > 0)[0]
-        chunk = 1 << 19  # rows per chunk; bits temp ~ (rows*avg_len) x 64
-        for c0 in range(0, len(nz_idx), chunk):
-            idx = nz_idx[c0 : c0 + chunk]
+        # chunk by cumulative ELEMENT count so the (sum_lens x 64) bits
+        # temp stays bounded (~256 MB) regardless of per-row array length
+        max_elems = 1 << 19
+        cum = np.cumsum(lens[nz_idx])
+        bounds = [0]
+        while bounds[-1] < len(nz_idx):
+            lo = bounds[-1]
+            base = cum[lo - 1] if lo else 0
+            hi = int(np.searchsorted(cum, base + max_elems, side="left")) + 1
+            bounds.append(min(max(hi, lo + 1), len(nz_idx)))
+        for c0, c1 in zip(bounds[:-1], bounds[1:]):
+            idx = nz_idx[c0:c1]
             flat = np.concatenate(
                 [np.asarray(arrs[i], dtype=np.int64) for i in idx]
             ).astype(np.uint64)
@@ -251,13 +326,13 @@ def simhash64_udf():
     return sim
 
 
-def simhash64(col, shingle_n: int = 2):
+def simhash64(col, shingle_n: int = 2, portable: bool = False):
     """64-bit SimHash: per-bit majority vote over shingle hashes.
 
     Hybrid plan like minhash: strings hashed once JVM-side, bit-majority in
     a numpy pandas UDF (the 64-pass expression form generated huge codegen
     and ran ~50x slower)."""
-    return simhash64_udf()(shingle_hashes(col, shingle_n))
+    return simhash64_udf()(shingle_hashes(col, shingle_n, portable))
 
 
 def simhash_near_pairs(
@@ -266,22 +341,41 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+    """Near-dup pairs by SimHash hamming distance, pigeonhole-blocked.
 
-    Pigeonhole: two hashes within hamming distance 3 agree on >=1 of 4
-    16-bit chunks — join on chunk, verify exact hamming via bit_count(xor).
+    Pigeonhole: two 64-bit hashes within hamming distance h agree exactly
+    on >=1 of any (h+1) disjoint chunks, so blocking uses ``max_hamming+1``
+    chunks (round-1 bug: a fixed 4-chunk split silently lost every pair
+    with 4 <= distance <= 8 when called with max_hamming=8). Chunk widths
+    are floor/ceil(64/(h+1)); the join is on (chunk, key), exact hamming is
+    verified via bit_count(xor). Full recall at any ``max_hamming`` <= 63.
     """
-    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("h"))
+    n_chunks = min(max_hamming + 1, 64)
+    base, extra = divmod(64, n_chunks)
+    # chunk c covers [off_c, off_c + w_c) with w_c = base+1 for c < extra
+    offs, widths = [], []
+    o = 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        offs.append(o)
+        widths.append(w)
+        o += w
+    h = df.select(F.col(id_col).alias("id"),
+                  simhash64(F.col(text_col), shingle_n, portable).alias("h"))
     # narrow (id, int64) — persist so the chunk self-join computes the
     # shingle+UDF simhash pass once, not once per join side
     h = h.persist()
     chunks = h.select(
         "id", "h",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("h", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for c in range(4)
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("h", offs[c])
+                .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("key"),
+            )
+            for c in range(n_chunks)
         ])).alias("ck"),
     ).select("id", "h", "ck.chunk", "ck.key")
     return (

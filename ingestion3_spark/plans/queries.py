@@ -47,6 +47,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ingestion3_spark.functions import dedupe, similarity, text
+from ingestion3_spark.plans import sketch_oracles
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -576,15 +577,30 @@ WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 
 
 def q_doc_minhash_pairs(spark, sf):
-    """NO_ORACLE: seeded xxhash64 signatures (not reproducible in DuckDB)."""
+    """MinHash+LSH banding candidates (portable hash family, band-verified).
+
+    The oracle re-derives the 32 splitmix64-mixed min-hashes in DuckDB
+    (md5-based base hash + HUGEINT limb arithmetic) and checks the banding
+    DEFINITION over an all-pairs join — independently verifying the
+    bucket-join blocking has full recall."""
     d = _docs_spread(spark, sf)
-    return dedupe.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    return dedupe.minhash_lsh_candidates(d, num_hashes=32, bands=8, portable=True)
+
+
+SQL_doc_minhash_pairs = sketch_oracles.minhash_pairs_sql(num_hashes=32, bands=8)
 
 
 def q_doc_simhash_pairs(spark, sf):
-    """NO_ORACLE: seeded xxhash64 bit votes (not reproducible in DuckDB)."""
+    """SimHash near-pairs at hamming<=8, pigeonhole-blocked on 9 chunks.
+
+    The oracle computes the 64-bit bit-majority hashes in DuckDB and takes
+    ALL pairs within the hamming bound (ground truth) — a recall check on
+    the chunk blocking (round-1 bug: 4 chunks guaranteed only hamming<=3)."""
     d = _docs_spread(spark, sf)
-    return dedupe.simhash_near_pairs(d, max_hamming=8)
+    return dedupe.simhash_near_pairs(d, max_hamming=8, portable=True)
+
+
+SQL_doc_simhash_pairs = sketch_oracles.simhash_pairs_sql(max_hamming=8, shingle_n=2)
 
 
 # ------------------------------------------------------------- similarity
@@ -626,11 +642,16 @@ SELECT qid, vec_id, rank, ROUND(cos, 6) AS cos FROM scored WHERE rank <= 10
 
 
 def q_ann_lsh_topk(spark, sf):
-    """NO_ORACLE: random-hyperplane LSH (numpy-seeded planes)."""
+    """Random-hyperplane LSH top-k. The seeded planes are deterministic
+    numpy output, embedded into the DuckDB oracle as double literals, so
+    bucket assignment and the probe join verify cross-engine."""
     e = load(spark, sf, "embeddings")
     planes = similarity.hyperplanes(64, 8, seed=42)
     out = similarity.lsh_topk(e, _query_vectors(spark, sf), planes, k=10)
     return out.select("qid", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+SQL_ann_lsh_topk = sketch_oracles.lsh_topk_sql(dim=64, n_planes=8, seed=42, k=10)
 
 
 # --------------------------------------------- enrichment kernels (§2.8)
@@ -767,11 +788,18 @@ SELECT value, COUNT(*) AS n FROM (
 
 
 def q_ann_ivf_topk(spark, sf):
-    """NO_ORACLE: IVF coarse-quantized ANN top-k (numpy-seeded k-means
-    centroids; the cell assignment is the scale path — probe 1 of
-    n_cells instead of the full corpus)."""
+    """IVF coarse-quantized ANN top-k (probe 1 of n_cells instead of the
+    full corpus — the scale path). The checked configuration uses the
+    deterministic coarse quantizer (centroids = the first n_cells vectors
+    by id, a tiny model-load collect) so the DuckDB oracle reads the SAME
+    model from the data; `similarity.kmeans_centroids` remains the
+    trained-quantizer path (quality, not correctness)."""
     e = load(spark, sf, "embeddings")
-    cents = similarity.kmeans_centroids(e, "embedding", n_cells=8, seed=42)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
     cell = similarity.ivf_cell(F.col("embedding"), cents)
     ec = e.withColumn("cell", cell)
     q = _query_vectors(spark, sf).withColumn(
@@ -788,6 +816,9 @@ def q_ann_ivf_topk(spark, sf):
         ),
     )
     return ranked.filter(F.col("rank") <= 10).select("qid", "vec_id", "rank", "cos")
+
+
+SQL_ann_ivf_topk = sketch_oracles.ivf_topk_sql(n_cells=8, k=10)
 
 
 def q_doc_embed_dups(spark, sf):
