@@ -133,7 +133,7 @@ class ReplayEngine:
             F.sum(val.has_error().cast("long")).alias("n_err"),
         )
         clean = observed.filter(~val.has_error())
-        winners = None
+        winners = winners_all = None
         try:
             with futures.ThreadPoolExecutor(max_workers=3) as pool:
                 # offsets job: Catalyst prunes this scan to the (part, seq)
@@ -144,33 +144,58 @@ class ReplayEngine:
                     .agg(F.max("seq").alias("hi"))
                     .collect()
                 )
+                _t("plan built")
                 if self.error_dir is not None:
-                    # errors-first: route errors NOW (the batch's one wide
-                    # validation scan before the write; observe() metrics
-                    # ride on it), then winner selection runs tokens-free —
-                    # it anti-joins the (part, seq) error keys instead of
-                    # re-evaluating has_error, so its scan decodes only the
-                    # four narrow envelope columns.
+                    # optimistic winner selection runs CONCURRENTLY with
+                    # error routing: winners over ALL pending events from a
+                    # tokens-free narrow scan (no has_error evaluation),
+                    # while the batch's one wide validation scan routes
+                    # errors (observe() metrics ride on it). A doc's
+                    # optimistic winner is wrong only if that exact event
+                    # errored — the fixup below recomputes just those docs
+                    # against the (tiny) error-key set.
+                    win_src = pending.select(key, "seq", "part", "op")
+                    winners_all = dd.winner_keys_packed(
+                        win_src, key=key,
+                        salted=self.salted_dedup, salt_buckets=self.salt_buckets,
+                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                    f_wall = pool.submit(winners_all.count)
                     err_by_part, err_keys = self._route_errors(observed, batch_id, obs)
+                    _t("error route")
                     n_err = sum(d["errors"] for d in err_by_part.values())
-                    src = pending.select(key, "seq", "part", "op")
+                    f_wall.result()
+                    _t("optimistic winners")
                     if n_err:
                         ek = err_keys.select("part", "seq")
                         if n_err <= 5_000_000:
                             ek = F.broadcast(ek)
-                        src = src.join(ek, ["part", "seq"], "left_anti")
+                        good = winners_all.join(ek, ["part", "seq"], "left_anti")
+                        bad_keys = (
+                            winners_all.join(ek, ["part", "seq"], "left_semi")
+                            .select(key)
+                        )
+                        redo = dd.winner_keys_packed(
+                            win_src.join(F.broadcast(bad_keys), key, "left_semi")
+                            .join(ek, ["part", "seq"], "left_anti"),
+                            key=key,
+                            salted=self.salted_dedup, salt_buckets=self.salt_buckets,
+                        )
+                        base_winners = good.unionByName(redo)
+                    else:
+                        base_winners = winners_all
                 else:
                     err_by_part, n_err = {}, None  # from obs after winners job
-                    src = clean.select(key, "seq", "part", "op")
-                winners = (
-                    dd.winner_keys_packed(
-                        src, key=key,
+                    base_winners = dd.winner_keys_packed(
+                        clean.select(key, "seq", "part", "op"), key=key,
                         salted=self.salted_dedup, salt_buckets=self.salt_buckets,
                     )
+                winners = (
+                    base_winners
                     .withColumn("__bucket", self.table.bucket_expr())
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
                 bucket_rows = winners.groupBy("__bucket").count().collect()
+                _t("winners agg")
                 offset_rows = f_offsets.result()
                 _t("phase1 errors+winners+offsets")
                 metrics = obs.get
@@ -210,23 +235,23 @@ class ReplayEngine:
                     os.environ.get("I3S_BROADCAST_WINNERS_MAX", "10000000")
                 )
                 hcol = F.xxhash64(F.col(key), F.col("seq"), F.col("part"))
+                # (seq, part) packed into one long halves the broadcast map
+                # row — the driver-side build of a multi-million-entry map
+                # is SERIAL time, so every byte in it costs scaling
+                pk2 = F.shiftleft(F.col("seq"), 16) + F.col("part").cast("long")
                 if bcast:
                     wk = F.broadcast(
                         winners.select(
                             F.xxhash64(key, "seq", "part").alias("_h"),
-                            F.col("seq").alias("_wseq"),
-                            F.col("part").alias("_wpart"),
+                            pk2.alias("_wpk"),
                         )
                     )
                     delta = (
                         clean.select(key, "op", *payload, "seq", "part")
                         .withColumn("_h", hcol)
                         .join(wk, "_h", "inner")
-                        .filter(
-                            (F.col("seq") == F.col("_wseq"))
-                            & (F.col("part") == F.col("_wpart"))
-                        )
-                        .drop("_h", "_wseq", "_wpart")
+                        .filter(pk2 == F.col("_wpk"))
+                        .drop("_h", "_wpk")
                     )
                 else:
                     delta = clean.select(key, "op", *payload, "seq", "part").join(
@@ -255,6 +280,8 @@ class ReplayEngine:
         finally:
             if winners is not None:
                 winners.unpersist()
+            if winners_all is not None:
+                winners_all.unpersist()
 
     def _route_errors(self, observed: DataFrame, batch_id: int, obs) -> tuple[dict, DataFrame | None]:
         """Error-table write (MessageCollector report analog) + per-part

@@ -268,13 +268,24 @@ class LakeTable:
         return F.pmod(F.xxhash64(c.cast("string")), F.lit(self.num_buckets)).cast("int")
 
     # ----------------------------------------------------------------- write
-    def write_files(self, df: DataFrame, schema_version: int | None = None) -> list[FileEntry]:
+    def write_files(
+        self,
+        df: DataFrame,
+        schema_version: int | None = None,
+        key_partitioned: bool = False,
+    ) -> list[FileEntry]:
         """Write df (current-schema columns) as bucket-partitioned parquet.
 
-        Returns manifest entries; does NOT commit. The df is repartitioned
-        by bucket so each shuffle partition writes exactly one bucket dir —
-        at cluster scale this is the single co-locating exchange of the
-        merge, sized by AQE.
+        Returns manifest entries; does NOT commit. Default: the df is
+        repartitioned by bucket so each shuffle partition writes exactly
+        one bucket dir (one file per bucket). ``key_partitioned=True`` is
+        the fanout-writer path (Iceberg's fanout write analog): the caller
+        guarantees the df is already exchange-partitioned on the key (e.g.
+        the output of a per-key dedup), so the co-locating repartition is
+        SKIPPED and each task writes the bucket dirs its keys hash into —
+        one less full materialization of the wide payload in the merge's
+        critical path, at the cost of up-to tasks-per-bucket files (bounded
+        by compact()).
         """
         sv = schema_version or self.schema_version
         # cast to the declared schema: feeds written before a widen (e.g.
@@ -282,11 +293,11 @@ class LakeTable:
         cols = [F.col(f.name).cast(f.type).alias(f.name) for f in self.fields(sv)]
         batch_rel = os.path.join("data", f"batch-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, batch_rel)
+        out = df.select(*cols).withColumn("__bucket", self.bucket_expr())
+        if not key_partitioned:
+            out = out.repartition("__bucket")
         (
-            df.select(*cols)
-            .withColumn("__bucket", self.bucket_expr())
-            .repartition("__bucket")
-            .write.partitionBy("__bucket")
+            out.write.partitionBy("__bucket")
             .mode("error")
             .parquet(out_dir)
         )
