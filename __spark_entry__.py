@@ -3,9 +3,10 @@
 entry()      — flagship query (CDC last-event-wins dedup) at sf0.001.
 queries()    — every implemented operator from SURVEY.md §2 + the
                training-data-pipeline ops (dedup/similarity/text).
-oracle_sql() — DuckDB-equivalent SQL for each (omitted only for seeded
-               xxhash64-based sketches, which DuckDB cannot reproduce;
-               the driver records a rows-only check for those).
+oracle_sql() — DuckDB-equivalent SQL for EVERY query (round 2: the
+               sketch/ANN queries gained oracles via the portable md5
+               hash family + generated splitmix64/all-pairs SQL — see
+               ingestion3_spark/plans/sketch_oracles.py).
 """
 
 from __future__ import annotations

@@ -93,6 +93,9 @@ def run_queries() -> dict[str, float]:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # sketch queries persist narrow intermediates for their self-joins;
+        # release them so later queries are not charged for leaked storage
+        spark.catalog.clearCache()
     spark.stop()
     return times
 

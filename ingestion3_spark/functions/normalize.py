@@ -223,6 +223,43 @@ def has_bare_ip_host(col) -> Column:
 
 RIGHTS_URI_DOMAINS = ("rightsstatements.org", "creativecommons.org")
 
+# Exact-membership vocabulary (the mechanism of ``isValidEdmRightsUri``'s
+# ~590-entry static set, model/DplaMapData.scala:175-768). This bundles the
+# publicly-documented rightsstatements.org statements + common Creative
+# Commons stems; deployments load their full list via load_rights_uris().
+RIGHTS_URIS_BUNDLED = tuple(
+    f"http://rightsstatements.org/vocab/{slug}/1.0/"
+    for slug in (
+        "InC", "InC-OW-EU", "InC-EDU", "InC-NC", "InC-RUU",
+        "NoC-CR", "NoC-NC", "NoC-OKLR", "NoC-US",
+        "CNE", "UND", "NKC",
+    )
+) + tuple(
+    f"http://creativecommons.org/licenses/{slug}/{ver}/"
+    for slug in ("by", "by-sa", "by-nd", "by-nc", "by-nc-sa", "by-nc-nd")
+    for ver in ("1.0", "2.0", "2.5", "3.0", "4.0")
+) + (
+    "http://creativecommons.org/publicdomain/zero/1.0/",
+    "http://creativecommons.org/publicdomain/mark/1.0/",
+)
+
+
+def load_rights_uris(path: str) -> tuple[str, ...]:
+    """Load a full rights vocabulary (one URI per line, # comments)."""
+    with open(path) as f:
+        return tuple(
+            ln.strip() for ln in f if ln.strip() and not ln.startswith("#")
+        )
+
+
+def is_rights_uri_exact(col, uris: tuple[str, ...] | None = None) -> Column:
+    """EXACT membership against the rights vocabulary — a broadcast
+    ``isin`` (Catalyst compiles the static list to an InSet hash probe, the
+    distributed form of the reference's ``Set.contains``). Unlike
+    :func:`is_recognized_rights_uri`'s shape regex, this is the
+    byte-exact check the reference performs."""
+    return _c(col).isin(*(uris or RIGHTS_URIS_BUNDLED))
+
 def is_recognized_rights_uri(col) -> Column:
     """Membership check against the rights vocabularies (the mechanism of
     ``isValidEdmRightsUri``'s ~590-entry static set, model/DplaMapData.

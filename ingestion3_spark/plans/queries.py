@@ -693,29 +693,48 @@ FROM raw GROUP BY 1, 2, 3
 """
 
 
+_RIGHTS_SLUGS = ["InC", "NoC-US", "CNE", "NotARealStatement"]
+
+
 def q_rights_uri_normalize(spark, sf):
-    """edmRights URI normalization chain (mappers/Mapper.scala:59-174)."""
-    from ingestion3_spark.functions.normalize import normalize_rights_uri
+    """edmRights URI normalization chain (mappers/Mapper.scala:59-174) +
+    EXACT vocabulary membership (model/DplaMapData.scala:175-768 mechanism:
+    broadcast isin/InSet, not a shape regex). One slug is deliberately
+    outside the vocabulary so both verdicts appear."""
+    from ingestion3_spark.functions.normalize import (
+        is_rights_uri_exact, normalize_rights_uri,
+    )
 
     ev = load(spark, sf, "events")
     raw = ev.withColumn(
         "uri",
         F.concat(
-            F.lit("https://www.rightsstatements.org/page/NoC-US/"),
-            (F.col("user_id") % 3).cast("string"),
+            F.lit("https://www.rightsstatements.org/page/"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _RIGHTS_SLUGS]),
+                (F.col("user_id") % 4 + 1).cast("int"),
+            ),
+            F.lit("/1.0"),
             F.when(F.col("event_id") % 2 == 0, F.lit("/rdf")).otherwise(F.lit("?lang=en")),
         ),
     )
     return (
         raw.withColumn("norm", normalize_rights_uri("uri"))
-        .groupBy("norm")
+        .withColumn("recognized", is_rights_uri_exact("norm"))
+        .groupBy("norm", "recognized")
         .agg(F.count("*").alias("n"))
     )
 
 
-SQL_rights_uri_normalize = """
+def _sql_rights_uri_normalize() -> str:
+    from ingestion3_spark.functions.normalize import RIGHTS_URIS_BUNDLED
+
+    slugs = ", ".join(f"'{s}'" for s in _RIGHTS_SLUGS)
+    in_list = ", ".join(f"'{u}'" for u in RIGHTS_URIS_BUNDLED)
+    return f"""
 WITH raw AS (
-  SELECT 'https://www.rightsstatements.org/page/NoC-US/' || CAST(user_id % 3 AS VARCHAR)
+  SELECT 'https://www.rightsstatements.org/page/'
+         || ([{slugs}])[CAST(user_id % 4 AS INT) + 1] || '/1.0'
          || CASE WHEN event_id % 2 = 0 THEN '/rdf' ELSE '?lang=en' END AS uri
   FROM events
 ), norm AS (
@@ -728,10 +747,15 @@ WITH raw AS (
            '\\?.*$', ''),
            '[\\.,;:\\s]+$', '') AS u
   FROM raw
+), fin AS (
+  SELECT CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS norm FROM norm
 )
-SELECT CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS norm, COUNT(*) AS n
-FROM norm GROUP BY 1
+SELECT norm, norm IN ({in_list}) AS recognized, COUNT(*) AS n
+FROM fin GROUP BY 1, 2
 """
+
+
+SQL_rights_uri_normalize = _sql_rights_uri_normalize()
 
 
 def q_doc_completeness(spark, sf):
@@ -931,6 +955,214 @@ SELECT message, level, field, COUNT(*) AS n FROM m GROUP BY 1, 2, 3
 """
 
 
+# ------------------------------------------------- vocabulary enrichment (J4/J5)
+_DCMI_TERMS = [
+    "Photograph", "book", "  sound ", "Moving Image",
+    "dataset", "sculpture", "hologram", "ephemera",
+]
+
+
+def q_vocab_enrich(spark, sf):
+    """Vocabulary-enrichment joins (J4/J5): ISO-639 language lookup over
+    documents.lang + DCMI type lookup over a deterministic term column
+    (two of the eight terms are deliberately outside the vocabulary so the
+    warn-on-miss path appears). Broadcast map joins, zero fact shuffle
+    (LanguageEnrichment.scala:8-109, TypeEnrichment.scala:17-209)."""
+    from ingestion3_spark.functions import enrich
+
+    d = load(spark, sf, "documents").withColumn(
+        "type_term",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _DCMI_TERMS]),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        ),
+    )
+    e = enrich.vocab_enrich(d, "lang", enrich.ISO639_1, "language",
+                            "unmapped language")
+    e = enrich.vocab_enrich(e, "type_term", enrich.DCMI_TYPE_MAP, "dcmi_type",
+                            "unmapped type")
+    return e.groupBy("lang", "language", "type_term", "dcmi_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("language_msg").isNotNull().cast("long")).alias("lang_misses"),
+        F.sum(F.col("dcmi_type_msg").isNotNull().cast("long")).alias("type_misses"),
+    )
+
+
+def _sql_vocab_enrich() -> str:
+    from ingestion3_spark.functions import enrich
+
+    terms = ", ".join(f"'{t}'" for t in _DCMI_TERMS)
+    return f"""
+WITH lang_vocab(term, language) AS {enrich.mapping_values_sql(enrich.ISO639_1)},
+type_vocab(term, dcmi_type) AS {enrich.mapping_values_sql(enrich.DCMI_TYPE_MAP)},
+base AS (
+  SELECT lang, ([{terms}])[CAST(doc_id % 8 AS INT) + 1] AS type_term
+  FROM documents
+)
+SELECT b.lang, lv.language, b.type_term, tv.dcmi_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN b.lang IS NOT NULL AND lv.language IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_misses,
+       CAST(SUM(CASE WHEN b.type_term IS NOT NULL AND tv.dcmi_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_misses
+FROM base b
+LEFT JOIN lang_vocab lv ON lower(trim(regexp_replace(b.lang, '\\s+', ' ', 'g'))) = lv.term
+LEFT JOIN type_vocab tv ON lower(trim(regexp_replace(b.type_term, '\\s+', ' ', 'g'))) = tv.term
+GROUP BY 1, 2, 3, 4
+"""
+
+
+SQL_vocab_enrich = _sql_vocab_enrich()
+
+
+# ------------------------------------------------------- XML extraction (§2.8)
+def q_xml_extract(spark, sf):
+    """XML payload parse + extract + error routing (Extractor DSL analog,
+    mappers/utils/Extractor.scala:10-258; OaiXmlParser.scala:14-90).
+
+    XML strings are derived deterministically from events; every 7th user's
+    record is truncated mid-document, and PERMISSIVE parsing routes those
+    as errors instead of failing the scan. The oracle reconstructs the
+    expected extraction directly from the source columns."""
+    from ingestion3_spark.functions import xml as X
+
+    ev = load(spark, sf, "events")
+    well = F.concat(
+        F.lit("<record><type>"), F.col("event_type"),
+        F.lit("</type><user>"), F.col("user_id").cast("string"),
+        F.lit("</user></record>"),
+    )
+    bad = F.concat(F.lit("<record><type>"), F.col("event_type"))
+    raw = ev.withColumn("x", F.when(F.col("user_id") % 7 == 0, bad).otherwise(well))
+    parsed = X.parse_xml(raw, "x", "type string, user bigint")
+    return (
+        parsed.select(
+            X.extract_string("xml", "type").alias("xtype"),
+            X.xml_error("xml", "user").alias("is_err"),
+            (X.extract_string("xml", "user") == F.col("user_id")).alias("roundtrip"),
+        )
+        .groupBy("xtype")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_err").cast("long")).alias("parse_errors"),
+            F.sum(F.coalesce(F.col("roundtrip"), F.lit(False)).cast("long")).alias("user_roundtrip"),
+        )
+    )
+
+
+SQL_xml_extract = """
+WITH parsed AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS xtype,
+         (user_id % 7 = 0) AS is_err
+  FROM events
+)
+SELECT xtype, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS parse_errors,
+       CAST(SUM(CASE WHEN is_err THEN 0 ELSE 1 END) AS BIGINT) AS user_roundtrip
+FROM parsed GROUP BY 1
+"""
+
+
+# ------------------------------------- string-normalization kernel sweep (§2.8)
+_NORM_CASES = [
+    "  foo   bar  ",
+    "<p>Hello &amp; <b>world</b></p>",
+    ";;- hello world -;;",
+    "a sentence. another one. ",
+    "[Unclosed bracket",
+    "ends with]",
+    "35.58N, 83.50W",
+    'say "what"; one; two ;; three ;',
+    "mixed text...",
+    "42nd street entry.",
+]
+
+
+def q_string_normalize_kernels(spark, sf):
+    """Every §2.8 string-normalization kernel over a deterministic raw
+    string column (StringNormalizationUtilsTest.scala:31-50 pairs as a
+    driver-checked query; the oracle re-implements each kernel in DuckDB's
+    RE2 dialect — an independent second implementation)."""
+    from ingestion3_spark.functions import normalize as N
+
+    ev = load(spark, sf, "events")
+    raw = F.element_at(
+        F.array(*[F.lit(s) for s in _NORM_CASES]),
+        (F.col("user_id") % 10 + 1).cast("int"),
+    )
+    d = ev.select(raw.alias("raw"))
+    out = d.select(
+        "raw",
+        N.reduce_whitespace("raw").alias("ws"),
+        N.strip_html("raw").alias("html"),
+        N.cleanup_leading_punctuation("raw").alias("lead"),
+        N.cleanup_ending_punctuation("raw").alias("endp"),
+        N.cleanup_ending_comma_and_space("raw").alias("comma"),
+        N.strip_ending_period("raw").alias("period"),
+        N.capitalize_first_char("raw").alias("cap"),
+        N.convert_to_sentence_case("raw").alias("sentence"),
+        N.limit_characters("raw", 10).alias("limit10"),
+        N.strip_dbl_quotes("raw").alias("quotes"),
+        N.strip_unmatched_opening_brackets("raw").alias("openb"),
+        N.strip_unmatched_closing_brackets("raw").alias("closeb"),
+        N.cleanup_geocoordinates("raw").alias("geo"),
+        N.split_at_delimiter("raw", ";").alias("split_arr"),
+        N.apply_block_filter(N.split_at_delimiter("raw", ";"), ["two", "^say"]).alias("blocked"),
+    )
+    return out.groupBy(*out.columns).agg(F.count("*").alias("n"))
+
+
+def _sql_string_normalize_kernels() -> str:
+    cases = ", ".join("'" + s.replace("'", "''") + "'" for s in _NORM_CASES)
+    return rf"""
+WITH d AS (
+  SELECT ([{cases}])[CAST(user_id % 10 AS INT) + 1] AS raw FROM events
+), k AS (
+  SELECT raw,
+    trim(regexp_replace(raw, '[\s ]+', ' ', 'g')) AS ws,
+    trim(regexp_replace(
+      replace(replace(replace(replace(
+        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '[\s ]+', ' ', 'g')) AS html,
+    regexp_replace(raw, '^[-;:,\\/\s]+', '') AS lead,
+    regexp_replace(raw, '[-;:,\\/\s]+$', '') AS endp,
+    regexp_replace(raw, '[,\s]+$', '') AS comma,
+    regexp_replace(raw, '(^|[^.])\.\s*$', '\1') AS period,
+    CASE WHEN regexp_extract(raw, '^[^A-Za-z]*([A-Za-z])', 1) = '' THEN raw
+         ELSE regexp_extract(raw, '^([^A-Za-z]*)', 1)
+              || upper(regexp_extract(raw, '^[^A-Za-z]*([A-Za-z])', 1))
+              || regexp_replace(raw, '^[^A-Za-z]*[A-Za-z]', '') END AS cap,
+    array_to_string(
+      list_filter(
+        list_transform(string_split_regex(raw, '\.\s*'),
+                       s -> CASE WHEN len(s) > 0 THEN upper(s[1]) || s[2:] ELSE s END),
+        s -> s <> ''),
+      '. ') AS sentence,
+    substring(raw, 1, 10) AS limit10,
+    replace(raw, '"', '') AS quotes,
+    CASE WHEN starts_with(raw, '[') AND NOT contains(raw, ']')
+         THEN substring(raw, 2) ELSE raw END AS openb,
+    CASE WHEN suffix(raw, ']') AND NOT contains(raw, '[')
+         THEN substring(raw, 1, len(raw) - 1) ELSE raw END AS closeb,
+    CASE WHEN regexp_extract(raw, '^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$', 1) <> ''
+          AND regexp_extract(raw, '^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$', 2) <> ''
+         THEN regexp_extract(raw, '^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$', 1)
+              || ', ' ||
+              regexp_extract(raw, '^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$', 2)
+         ELSE '' END AS geo,
+    list_filter(list_transform(string_split(raw, ';'), s -> trim(s)), s -> s <> '') AS split_arr,
+    list_filter(
+      list_filter(list_transform(string_split(raw, ';'), s -> trim(s)), s -> s <> ''),
+      s -> NOT regexp_matches(s, '(?i)(?:two)|(?:^say)')) AS blocked
+  FROM d
+)
+SELECT *, COUNT(*) AS n FROM k
+GROUP BY ALL
+"""
+
+
+SQL_string_normalize_kernels = _sql_string_normalize_kernels()
+
+
 # ---------------------------------------------------------------- registry
 QUERIES: dict[str, callable] = {
     "cdc_last_event_wins": q_cdc_last_event_wins,
@@ -969,6 +1201,9 @@ QUERIES: dict[str, callable] = {
     "doc_embed_dups": q_doc_embed_dups,
     "jsonl_render": q_jsonl_render,
     "doc_validate_report": q_doc_validate_report,
+    "vocab_enrich": q_vocab_enrich,
+    "xml_extract": q_xml_extract,
+    "string_normalize_kernels": q_string_normalize_kernels,
 }
 
 ORACLES: dict[str, str] = {

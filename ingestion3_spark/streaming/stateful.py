@@ -49,7 +49,9 @@ def dedup_stream(
     """Suppress events whose seq does not advance the per-key high-water
     mark. Works on a streaming DataFrame (update-mode state) and, for
     tests, on a batch DataFrame grouped the same way."""
-    schema = output_schema or events.schema.simpleString()[7:-1].replace(":", " ")
+    # per-field DDL (NOT simpleString().replace) — a ':' inside a nested
+    # type (e.g. array<struct<...>> messages) would corrupt the DDL
+    schema = output_schema or events.schema
     return events.groupBy(key_col).applyInPandasWithState(
         _dedup_group,
         outputStructType=schema,
