@@ -220,3 +220,29 @@ def test_stream_replay_file_feed(spark, tmp_table_path, tmp_path):
     assert not diff_states(expected, actual)
     # micro-batches committed with checkpointed offsets
     assert table.checkpoint()[0] > 10_000
+
+
+def test_avro_driver_roundtrip(spark, tmp_path):
+    """S1/S2 verified: a real Avro container round-trip via the avro jar on
+    Spark's classpath (the spark-avro DataSource jar is absent in this
+    sandbox; sources/io.py read_avro/write_avro cover it on real clusters)."""
+    from ingestion3_spark.sources.avro_local import (
+        read_avro_driver, write_avro_driver,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("doc-1", [1, 2, 3], 3, "cc"),
+            ("doc-2", None, None, "wiki"),
+            ("doc-3", [], 0, None),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    path = str(tmp_path / "round.avro")
+    n = write_avro_driver(df, path)
+    assert n == 3
+    back = read_avro_driver(spark, path, df.schema)
+    assert back.schema == df.schema
+    a = sorted([r.asDict() for r in df.collect()], key=lambda r: r["doc_id"])
+    b = sorted([r.asDict() for r in back.collect()], key=lambda r: r["doc_id"])
+    assert a == b
