@@ -333,19 +333,29 @@ class LakeTable:
         return self._scan_batch_dir(batch_rel, sv, kind="delta")
 
     def _scan_batch_dir(self, batch_rel: str, schema_version: int, kind: str = "base") -> list[FileEntry]:
-        entries: list[FileEntry] = []
+        from concurrent import futures as _fut
+
         out_dir = os.path.join(self.path, batch_rel)
+        paths: list[str] = []
         for root, _dirs, files in os.walk(out_dir):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, fn)
-                rel = os.path.relpath(full, self.path)
-                bucket_part = [p for p in rel.split(os.sep) if p.startswith("__bucket=")]
-                bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
-                rows = pq.read_metadata(full).num_rows
-                entries.append(FileEntry(rel, bucket, rows, schema_version, batch_rel, kind))
-        return entries
+            paths.extend(
+                os.path.join(root, fn) for fn in files if fn.endswith(".parquet")
+            )
+
+        # footer reads release the GIL (pyarrow IO); a fanout write can
+        # leave O(tasks x buckets) files, so serial driver-side metadata
+        # reads would be Amdahl time — parallelize them
+        def entry(full: str) -> FileEntry:
+            rel = os.path.relpath(full, self.path)
+            bucket_part = [p for p in rel.split(os.sep) if p.startswith("__bucket=")]
+            bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
+            rows = pq.read_metadata(full).num_rows
+            return FileEntry(rel, bucket, rows, schema_version, batch_rel, kind)
+
+        if len(paths) <= 4:
+            return [entry(p) for p in paths]
+        with _fut.ThreadPoolExecutor(max_workers=16) as pool:
+            return list(pool.map(entry, paths))
 
     # ---------------------------------------------------------------- commit
     def commit(
