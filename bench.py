@@ -180,21 +180,22 @@ def main() -> int:
         # the headline, with every raw number disclosed alongside.
         rounds = []
         for _ in range(max(SCALING_ROUNDS, 1)):
+            # each level's parallel-ceiling job runs INSIDE the replay
+            # subprocess (same JVM, same host window) so the normalization
+            # is not distorted by between-process host drift
             r_n = run_replay(n, feed)
             r_4n = run_replay(CPUS, feed)
-            c_n = run_ceiling(n, feed)
-            c_4n = run_ceiling(CPUS, feed)
             env = hw_envelope(n, CPUS)
             speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
-            ceiling_speedup = c_n["seconds"] / c_4n["seconds"]
+            ceiling_speedup = r_n["ceiling_seconds"] / r_4n["ceiling_seconds"]
             rounds.append({
                 "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
                 "thr_4N": r_4n["events_per_sec"], "seconds_4N": r_4n["seconds"],
                 "efficiency": round(speedup / 4, 3),
                 "hw_speedup": env["hw_speedup"],
                 "cpu_env_efficiency": round(speedup / env["hw_speedup"], 3),
-                "ceiling_seconds_N": c_n["seconds"],
-                "ceiling_seconds_4N": c_4n["seconds"],
+                "ceiling_seconds_N": r_n["ceiling_seconds"],
+                "ceiling_seconds_4N": r_4n["ceiling_seconds"],
                 "ceiling_speedup": round(ceiling_speedup, 3),
                 # headline normalization: the engine's speedup vs the
                 # host's measured perfect-scaling ceiling for the same

@@ -142,7 +142,10 @@ def merge_batch(
         if mor:
             # merge-on-read: append the deduped changes (upserts + delete
             # tombstones) as delta files — O(delta) write, no base rewrite
-            files = table.write_delta_files(changes.select(*data_cols, "op", "seq", "part"))
+            files = table.write_delta_files(
+                changes.select(*data_cols, "op", "seq", "part"),
+                key_partitioned=True,
+            )
             _t("delta_write")
             return files
         # copy-on-write: base rows not touched by delta ∪ upsert payloads.

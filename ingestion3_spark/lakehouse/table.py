@@ -303,7 +303,12 @@ class LakeTable:
         )
         return self._scan_batch_dir(batch_rel, sv)
 
-    def write_delta_files(self, df: DataFrame, schema_version: int | None = None) -> list[FileEntry]:
+    def write_delta_files(
+        self,
+        df: DataFrame,
+        schema_version: int | None = None,
+        key_partitioned: bool = False,
+    ) -> list[FileEntry]:
         """MOR: write row-level changes (upserts + delete tombstones) as
         bucket-partitioned delta files; does NOT rewrite any base file.
 
@@ -323,10 +328,11 @@ class LakeTable:
         ]
         batch_rel = os.path.join("data", f"delta-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, batch_rel)
+        out = df.select(*cols, self.bucket_expr(self.key_column).alias("__bucket"))
+        if not key_partitioned:
+            out = out.repartition("__bucket")
         (
-            df.select(*cols, self.bucket_expr(self.key_column).alias("__bucket"))
-            .repartition("__bucket")
-            .write.partitionBy("__bucket")
+            out.write.partitionBy("__bucket")
             .mode("error")
             .parquet(out_dir)
         )

@@ -119,12 +119,39 @@ def main() -> int:
         for i in range(reps)
     ]
     best = min(times)
+
+    # parallel-ceiling job measured in the SAME JVM and host window as the
+    # replay it normalizes (see tools/ceiling_bench.py for the rationale):
+    # identical scan + validation expressions + write volume, but
+    # embarrassingly parallel — its speedup across levels is the host's
+    # perfect-scaling reference for this byte/instruction mix.
+    ceiling = None
+    if os.environ.get("I3S_CEILING", "1") == "1":
+        import shutil as _sh
+        import time as _tm
+
+        from ingestion3_spark.cdc import validate as _val
+
+        out = os.path.join(work, f"ceiling_{cores}")
+        plan = _val.validate_events(events).filter(~_val.has_error()).drop("messages")
+
+        def _ceil_once() -> float:
+            _sh.rmtree(out, ignore_errors=True)
+            t0 = _tm.perf_counter()
+            plan.write.mode("overwrite").parquet(out)
+            return _tm.perf_counter() - t0
+
+        _ceil_once()  # warmup
+        ceiling = round(min(_ceil_once(), _ceil_once()), 3)
+        _sh.rmtree(out, ignore_errors=True)
+
     print(json.dumps({
         "cores": cores,
         "events": n_events,
         "seconds": round(best, 3),
         "events_per_sec": round(n_events / best, 1),
         "reps": [round(t, 3) for t in times],
+        "ceiling_seconds": ceiling,
         "ballast": bool(ballast),
         "merge_mode": os.environ.get("I3S_MERGE_MODE", "cow"),
     }))
