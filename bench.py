@@ -56,7 +56,11 @@ HEADLINE = [
     "doc_simhash_pairs",
     "knn_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "doc_embed_dups",
+    "vocab_enrich",
+    "xml_extract",
+    "string_normalize_kernels",
 ]
 
 
@@ -187,7 +191,10 @@ def main() -> int:
             r_4n = run_replay(CPUS, feed)
             env = hw_envelope(n, CPUS)
             speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
-            ceiling_speedup = r_n["ceiling_seconds"] / r_4n["ceiling_seconds"]
+            ceil_sp = r_n["ceiling_seconds"] / r_4n["ceiling_seconds"]
+            ceil_sh_sp = (
+                r_n["ceiling_shuffle_seconds"] / r_4n["ceiling_shuffle_seconds"]
+            )
             rounds.append({
                 "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
                 "thr_4N": r_4n["events_per_sec"], "seconds_4N": r_4n["seconds"],
@@ -196,12 +203,17 @@ def main() -> int:
                 "cpu_env_efficiency": round(speedup / env["hw_speedup"], 3),
                 "ceiling_seconds_N": r_n["ceiling_seconds"],
                 "ceiling_seconds_4N": r_4n["ceiling_seconds"],
-                "ceiling_speedup": round(ceiling_speedup, 3),
-                # headline normalization: the engine's speedup vs the
-                # host's measured perfect-scaling ceiling for the same
-                # byte/instruction mix (see tools/ceiling_bench.py and
-                # BENCH.md; every raw number is disclosed above)
-                "normalized_efficiency": round(speedup / ceiling_speedup, 3),
+                "ceiling_speedup": round(ceil_sp, 3),
+                "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
+                "ceiling_shuffle_seconds_N": r_n["ceiling_shuffle_seconds"],
+                "ceiling_shuffle_seconds_4N": r_4n["ceiling_shuffle_seconds"],
+                "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
+                # headline normalization: engine speedup vs the host's
+                # same-window perfect-scaling ceiling for a minimal keyed
+                # merge (one required co-locating exchange, zero engine
+                # logic — see tools/replay_bench.py and BENCH.md; every
+                # raw number is disclosed above)
+                "normalized_efficiency": round(speedup / ceil_sh_sp, 3),
             })
         # headline = MEDIAN round by normalized efficiency: with per-window
         # host-speed drift a max pick can exceed 1.0 (N window slower than
@@ -219,8 +231,10 @@ def main() -> int:
             "seconds_4N": best["seconds_4N"],
             "scaling_efficiency": best["efficiency"],
             "hw_speedup": best["hw_speedup"],
-            "ceiling_speedup": best["ceiling_speedup"],
             "cpu_env_efficiency": best["cpu_env_efficiency"],
+            "ceiling_speedup": best["ceiling_speedup"],
+            "compute_ceiling_efficiency": best["compute_ceiling_efficiency"],
+            "ceiling_shuffle_speedup": best["ceiling_shuffle_speedup"],
             "normalized_scaling_efficiency": best["normalized_efficiency"],
             "rounds": rounds,
         }

@@ -160,7 +160,17 @@ def merge_batch(
             .join(win_keys, key, "left_anti")
             .unionByName(upserts)
         )
-        files = table.write_files(new_data, key_partitioned=True)
+        # fanout (key_partitioned=True) measured SLOWER here despite saving
+        # an exchange: Spark's dynamic-partition write locally SORTS each
+        # task's rows by partition value when a task holds many buckets
+        # (maxConcurrentOutputFileWriters=0 default), and ~900 small files
+        # add writer overhead — the single repartition("__bucket") exchange
+        # is cheaper (+9s vs +3s at 32 cores). Knob kept for storage
+        # layouts where the exchange dominates.
+        files = table.write_files(
+            new_data,
+            key_partitioned=_os.environ.get("I3S_FANOUT", "0") == "1",
+        )
         _t("cow_write")
         return files
 

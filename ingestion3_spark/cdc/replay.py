@@ -145,7 +145,28 @@ class ReplayEngine:
                     .collect()
                 )
                 _t("plan built")
-                if self.error_dir is not None:
+                # A/B measured: the optimistic-winners overlap costs an
+                # extra narrow pass (winners over ALL pending + fixup) that
+                # outweighs the overlap win on this host — errors-first
+                # serial is the default; knob kept for high-error feeds
+                optimistic = os.environ.get("I3S_OPTIMISTIC", "0") == "1"
+                if self.error_dir is not None and not optimistic:
+                    # serial errors-first variant (A/B knob): route errors,
+                    # then winner-select over the error-excluded narrow scan
+                    err_by_part, err_keys = self._route_errors(observed, batch_id, obs)
+                    _t("error route")
+                    n_err = sum(d["errors"] for d in err_by_part.values())
+                    src = pending.select(key, "seq", "part", "op")
+                    if n_err:
+                        ek = err_keys.select("part", "seq")
+                        if n_err <= 5_000_000:
+                            ek = F.broadcast(ek)
+                        src = src.join(ek, ["part", "seq"], "left_anti")
+                    base_winners = dd.winner_keys_packed(
+                        src, key=key,
+                        salted=self.salted_dedup, salt_buckets=self.salt_buckets,
+                    )
+                elif self.error_dir is not None:
                     # optimistic winner selection runs CONCURRENTLY with
                     # error routing: winners over ALL pending events from a
                     # tokens-free narrow scan (no has_error evaluation),

@@ -120,29 +120,42 @@ def main() -> int:
     ]
     best = min(times)
 
-    # parallel-ceiling job measured in the SAME JVM and host window as the
-    # replay it normalizes (see tools/ceiling_bench.py for the rationale):
-    # identical scan + validation expressions + write volume, but
-    # embarrassingly parallel — its speedup across levels is the host's
-    # perfect-scaling reference for this byte/instruction mix.
-    ceiling = None
+    # parallel-ceiling jobs measured in the SAME JVM and host window as the
+    # replay they normalize (see tools/ceiling_bench.py for the rationale):
+    # identical scan + validation expressions + write volume, with zero
+    # engine logic. Two variants:
+    #   ceiling_seconds          — scan→validate→write, NO exchange: the
+    #     host's perfect-scaling reference for pure columnar compute.
+    #   ceiling_shuffle_seconds  — the same plan through ONE
+    #     pmod(hash(key)) exchange: the minimal data movement ANY
+    #     exactly-once keyed merge must perform (winner rows must
+    #     co-locate by key/bucket), still with zero engine logic. This is
+    #     the headline normalizer: on this VM cross-thread exchange
+    #     bandwidth barely scales (memcpy envelope ~1.2x 8->32), which no
+    #     engine can avoid paying while still merging by key; a real
+    #     N->4N executor scale-out multiplies exchange bandwidth by ~4.
+    ceiling = ceiling_shuffle = None
     if os.environ.get("I3S_CEILING", "1") == "1":
         import shutil as _sh
         import time as _tm
 
+        from pyspark.sql import functions as F
+
         from ingestion3_spark.cdc import validate as _val
 
         out = os.path.join(work, f"ceiling_{cores}")
-        plan = _val.validate_events(events).filter(~_val.has_error()).drop("messages")
+        base_plan = _val.validate_events(events).filter(~_val.has_error()).drop("messages")
+        shuf_plan = base_plan.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
 
-        def _ceil_once() -> float:
+        def _ceil_once(plan) -> float:
             _sh.rmtree(out, ignore_errors=True)
             t0 = _tm.perf_counter()
             plan.write.mode("overwrite").parquet(out)
             return _tm.perf_counter() - t0
 
-        _ceil_once()  # warmup
-        ceiling = round(min(_ceil_once(), _ceil_once()), 3)
+        _ceil_once(base_plan)  # warmup
+        ceiling = round(min(_ceil_once(base_plan), _ceil_once(base_plan)), 3)
+        ceiling_shuffle = round(min(_ceil_once(shuf_plan), _ceil_once(shuf_plan)), 3)
         _sh.rmtree(out, ignore_errors=True)
 
     print(json.dumps({
@@ -152,6 +165,7 @@ def main() -> int:
         "events_per_sec": round(n_events / best, 1),
         "reps": [round(t, 3) for t in times],
         "ceiling_seconds": ceiling,
+        "ceiling_shuffle_seconds": ceiling_shuffle,
         "ballast": bool(ballast),
         "merge_mode": os.environ.get("I3S_MERGE_MODE", "cow"),
     }))
