@@ -215,30 +215,46 @@ def main() -> int:
                 # raw number is disclosed above)
                 "normalized_efficiency": round(speedup / ceil_sh_sp, 3),
             })
-        # headline = MEDIAN round by normalized efficiency: with per-window
-        # host-speed drift a max pick can exceed 1.0 (N window slower than
-        # its own envelope sample) and a min pick penalizes one bad window;
-        # the median of 3 matched rounds is robust to a single outlier.
-        ranked = sorted(rounds, key=lambda r: r["normalized_efficiency"])
-        best = ranked[len(ranked) // 2]
+        # headline estimator: MIN across rounds per level, for the replay
+        # AND the ceilings alike. Host throttling only ever ADDS time, so
+        # each min independently estimates the unthrottled time at that
+        # level; ratios of per-round samples were a lottery (a throttle
+        # episode inside one window distorts that round's ratio by 2-4x —
+        # see BENCH.md measurement hygiene; per-round ratios stay disclosed
+        # in `rounds` for transparency).
+        t_n = min(r["seconds_N"] for r in rounds)
+        t_4n = min(r["seconds_4N"] for r in rounds)
+        c_n = min(r["ceiling_seconds_N"] for r in rounds)
+        c_4n = min(r["ceiling_seconds_4N"] for r in rounds)
+        cs_n = min(r["ceiling_shuffle_seconds_N"] for r in rounds)
+        cs_4n = min(r["ceiling_shuffle_seconds_4N"] for r in rounds)
+        speedup = t_n / t_4n
+        ceil_sp = c_n / c_4n
+        ceil_sh_sp = cs_n / cs_4n
+        events = r_4n["events"]
         cdc = {
-            "events": r_4n["events"],  # feed size: identical across rounds
+            "events": events,  # feed size: identical across rounds
             "cores_N": n,
             "cores_4N": CPUS,
-            "thr_N": best["thr_N"],
-            "seconds_N": best["seconds_N"],
-            "thr_4N": best["thr_4N"],
-            "seconds_4N": best["seconds_4N"],
-            "scaling_efficiency": best["efficiency"],
-            "hw_speedup": best["hw_speedup"],
-            "cpu_env_efficiency": best["cpu_env_efficiency"],
-            "ceiling_speedup": best["ceiling_speedup"],
-            "compute_ceiling_efficiency": best["compute_ceiling_efficiency"],
-            "ceiling_shuffle_speedup": best["ceiling_shuffle_speedup"],
-            "normalized_scaling_efficiency": best["normalized_efficiency"],
+            "estimator": "min-over-rounds per level (throttle adds time only)",
+            "thr_N": round(events / t_n, 1),
+            "seconds_N": t_n,
+            "thr_4N": round(events / t_4n, 1),
+            "seconds_4N": t_4n,
+            "scaling_efficiency": round(speedup / 4, 3),
+            "hw_speedup": rounds[-1]["hw_speedup"],
+            "cpu_env_efficiency": round(speedup / rounds[-1]["hw_speedup"], 3),
+            "ceiling_seconds_N": c_n,
+            "ceiling_seconds_4N": c_4n,
+            "ceiling_speedup": round(ceil_sp, 3),
+            "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
+            "ceiling_shuffle_seconds_N": cs_n,
+            "ceiling_shuffle_seconds_4N": cs_4n,
+            "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
+            "normalized_scaling_efficiency": round(speedup / ceil_sh_sp, 3),
             "rounds": rounds,
         }
-        times["cdc_replay"] = best["seconds_4N"]
+        times["cdc_replay"] = t_4n
 
     print(json.dumps({
         "metric": "change_events_per_sec",

@@ -99,6 +99,35 @@ def vocab_enrich(
     )
 
 
+def eligibility_join(
+    df: DataFrame,
+    keys: tuple[str, str],
+    table: dict[tuple[str, str], dict],
+    out_cols: tuple[str, ...],
+) -> DataFrame:
+    """Multi-key eligibility lookup (J6 — the mechanism of
+    ``wiki/WikiMapper.scala:85-152`` + ``InstitutionsLoader.scala``: a
+    (partner, dataProvider) pair joined against a small institutions table
+    to attach eligibility flags).
+
+    ``table`` maps a 2-tuple of key values to a dict of ``out_cols``
+    values; rows with no entry get nulls (ineligible). Broadcast hash join
+    on the composite key — probed map-side, no fact shuffle.
+    """
+    spark = df.sparkSession
+    rows = [
+        tuple(k) + tuple(v.get(c) for c in out_cols)
+        for k, v in sorted(table.items())
+    ]
+    schema = ", ".join(
+        [f"_ek{i} string" for i in range(2)]
+        + [f"{c} string" for c in out_cols]
+    )
+    lookup = spark.createDataFrame(rows, schema)
+    cond = (F.col(keys[0]) == F.col("_ek0")) & (F.col(keys[1]) == F.col("_ek1"))
+    return df.join(F.broadcast(lookup), cond, "left").drop("_ek0", "_ek1")
+
+
 def mapping_values_sql(mapping: dict[str, str]) -> str:
     """The vocabulary as a literal SQL VALUES table (for DuckDB oracles) —
     generated from the SAME dict the Spark join uses."""

@@ -208,3 +208,25 @@ def test_splitmix_chunking_element_bounds(lens):
     for i in range(len(lens)):
         one = _splitmix_mins(pd.Series([arrs[i]]), 8)
         assert list(one[0]) == list(full[i])
+
+
+def test_eligibility_join_two_key(spark):
+    """J6: (partner, provider) composite-key broadcast lookup
+    (WikiMapper.scala:85-152 mechanism)."""
+    table = {
+        ("p1", "d1"): {"asset_ok": "true", "data_ok": "true"},
+        ("p1", "d2"): {"asset_ok": "false", "data_ok": "true"},
+    }
+    df = spark.createDataFrame(
+        [("p1", "d1"), ("p1", "d2"), ("p2", "d1")], "partner string, provider string"
+    )
+    out = enrich.eligibility_join(
+        df, ("partner", "provider"), table, ("asset_ok", "data_ok")
+    )
+    got = {(r["partner"], r["provider"]): (r["asset_ok"], r["data_ok"])
+           for r in out.collect()}
+    assert got[("p1", "d1")] == ("true", "true")
+    assert got[("p1", "d2")] == ("false", "true")
+    assert got[("p2", "d1")] == (None, None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

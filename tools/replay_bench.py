@@ -113,7 +113,19 @@ def main() -> int:
     events = spark.read.parquet(events_path)
     n_events = events.count()
 
+    # EQUAL-WALL-TIME warmup: this host's per-process CPU allowance ramps
+    # over the first ~1-2 minutes of sustained load (BENCH.md "host CPU
+    # ramp"), so a fixed warmup COUNT flatters whichever level lives
+    # longer. Keep replaying until the warm budget has elapsed at BOTH
+    # levels, then measure — every measured number below samples the same
+    # ramp state.
+    warm_s = float(os.environ.get("I3S_WARM_SECONDS", "90"))
+    t_start = time.perf_counter()
     one_replay(spark, events, work, cores, n_base, num_batches, "warmup")
+    w = 0
+    while time.perf_counter() - t_start < warm_s:
+        one_replay(spark, events, work, cores, n_base, num_batches, f"warm{w}")
+        w += 1
     times = [
         one_replay(spark, events, work, cores, n_base, num_batches, f"r{i}")
         for i in range(reps)
@@ -157,6 +169,13 @@ def main() -> int:
         ceiling = round(min(_ceil_once(base_plan), _ceil_once(base_plan)), 3)
         ceiling_shuffle = round(min(_ceil_once(shuf_plan), _ceil_once(shuf_plan)), 3)
         _sh.rmtree(out, ignore_errors=True)
+        # one more replay AFTER the ceiling samples: if the host allowance
+        # is still ramping, the late sample catches it, and min() keeps
+        # replay and ceiling sampled from interleaved windows
+        times.append(
+            one_replay(spark, events, work, cores, n_base, num_batches, "rlate")
+        )
+        best = min(times)
 
     print(json.dumps({
         "cores": cores,
