@@ -145,12 +145,20 @@ class ReplayEngine:
                     .collect()
                 )
                 _t("plan built")
-                # A/B measured: the optimistic-winners overlap costs an
-                # extra narrow pass (winners over ALL pending + fixup) that
-                # outweighs the overlap win on this host — errors-first
-                # serial is the default; knob kept for high-error feeds
-                optimistic = os.environ.get("I3S_OPTIMISTIC", "0") == "1"
-                if self.error_dir is not None and not optimistic:
+                # winner-selection modes, A/B-measured (BENCH.md):
+                #  - concurrent (default): winner agg over the clean rows
+                #    (wide scan re-evaluates has_error) runs CONCURRENTLY
+                #    with error routing; error counts join the commit via a
+                #    future. Best 4N wall AND best scaling ratio — the two
+                #    wide scans overlap.
+                #  - errfirst: route errors, then a tokens-free narrow
+                #    winner scan anti-joins the error keys. Lowest TOTAL
+                #    work (best at small core counts / congested hosts).
+                #  - optimistic: winners over ALL pending concurrently +
+                #    per-errored-doc fixup (for high-error feeds).
+                mode = os.environ.get("I3S_WINNER_MODE", "concurrent")
+                f_err = None
+                if self.error_dir is not None and mode == "errfirst":
                     # serial errors-first variant (A/B knob): route errors,
                     # then winner-select over the error-excluded narrow scan
                     err_by_part, err_keys = self._route_errors(observed, batch_id, obs)
@@ -166,7 +174,7 @@ class ReplayEngine:
                         src, key=key,
                         salted=self.salted_dedup, salt_buckets=self.salt_buckets,
                     )
-                elif self.error_dir is not None:
+                elif self.error_dir is not None and mode == "optimistic":
                     # optimistic winner selection runs CONCURRENTLY with
                     # error routing: winners over ALL pending events from a
                     # tokens-free narrow scan (no has_error evaluation),
@@ -205,7 +213,15 @@ class ReplayEngine:
                     else:
                         base_winners = winners_all
                 else:
-                    err_by_part, n_err = {}, None  # from obs after winners job
+                    # concurrent mode (and the no-error-sink fallback):
+                    # winners over the clean rows; the error-routing job (if
+                    # any) runs in a parallel thread and its per-part counts
+                    # join the atomic commit via the future
+                    err_by_part, n_err = {}, None  # from obs
+                    if self.error_dir is not None:
+                        f_err = pool.submit(
+                            self._route_errors_counts, observed, batch_id, obs
+                        )
                     base_winners = dd.winner_keys_packed(
                         clean.select(key, "seq", "part", "op"), key=key,
                         salted=self.salted_dedup, salt_buckets=self.salt_buckets,
@@ -223,7 +239,7 @@ class ReplayEngine:
                 events_in = int(metrics["events_in"] or 0)
                 if n_err is None:
                     n_err = int(metrics["n_err"] or 0)
-                    if n_err:
+                    if n_err and f_err is None:
                         err_by_part[(batch_id, -1)] = {"errors": n_err}
                 if not offset_rows:
                     stats = BatchStats(batch_id, 0, 0, 0, None)
@@ -291,6 +307,7 @@ class ReplayEngine:
                     touched=touched,
                     broadcast_winners=bcast,
                     extra_lineage=err_by_part,
+                    extra_lineage_future=f_err,
                     clean_count=events_in - n_err,
                     n_winners=n_winners,
                 )
@@ -303,6 +320,12 @@ class ReplayEngine:
                 winners.unpersist()
             if winners_all is not None:
                 winners_all.unpersist()
+
+    def _route_errors_counts(self, observed: DataFrame, batch_id: int, obs) -> dict:
+        """Thread target for concurrent mode: error write + per-part counts
+        only (the error-key DataFrame is not needed when winner selection
+        filters on has_error itself)."""
+        return self._route_errors(observed, batch_id, obs)[0]
 
     def _route_errors(self, observed: DataFrame, batch_id: int, obs) -> tuple[dict, DataFrame | None]:
         """Error-table write (MessageCollector report analog) + per-part
