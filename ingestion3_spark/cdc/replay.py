@@ -83,18 +83,20 @@ class ReplayEngine:
         a full job, and every serial job is Amdahl time 4x cores cannot
         divide):
 
-        * phase 1 (two CONCURRENT jobs): (a) narrow winner selection —
-          shuffle only ``(doc_id, seq, part, op)``, persist the ~|keys| winner
-          set, return per-bucket counts; events_in / error totals ride along
-          as ``observe()`` metrics on the same scan; (b) the column-pruned
-          per-part offsets aggregation (reads only the seq/part chunks).
-        * phase 2 (three CONCURRENT jobs): error routing (wide scan ->
-          tiny batch-partitioned write + pruned count-back), the narrow
-          classify agg, and the data write. The write late-materializes the
-          wide payload: source scan ⋈ broadcast(winner keys) — so the wide
-          token arrays flow map-side from parquet into the single bucketed
-          write shuffle and are never spilled or shuffled for dedup.
-        * phase 3: one atomic commit (data + checkpoint + lineage).
+        * phase 1 (CONCURRENT jobs): winner selection — shuffle only
+          ``(doc_id, seq, part, op)`` packed into one BIGINT, persist the
+          ~|keys| winner set, return per-bucket counts — overlapped with
+          error routing (wide scan -> tiny batch-partitioned write +
+          pruned count-back; mode knob ``I3S_WINNER_MODE``, see inline)
+          and the column-pruned per-part offsets aggregation. events_in /
+          error totals ride along as ``observe()`` metrics.
+        * phase 2 (two CONCURRENT jobs): the narrow classify agg and the
+          data write. The write late-materializes the wide payload:
+          source scan ⋈ broadcast(winner keys) — the wide token arrays
+          flow map-side from parquet into the single bucketed write
+          shuffle and are never spilled or shuffled for dedup.
+        * phase 3: one atomic commit (data + checkpoint + lineage),
+          folding in the error-routing counts via its future.
 
         Wide-payload bytes shuffled per batch: |winners| rows, not |events|
         (round-1's wide dedup shuffle + DISK_ONLY spill was the scaling
@@ -126,13 +128,19 @@ class ReplayEngine:
         # transaction has been applied)
         payload = [c for c in self.table.column_names() if c != key]
 
-        obs = Observation()
-        observed = validated.observe(
-            obs,
+        # one Observation per consuming JOB: two concurrent actions racing a
+        # shared CollectMetrics node can hand Observation.get a malformed
+        # row (observed as a toPyRow assertion failure on empty redelivery
+        # batches), so the error-routing scan and the winner scan each get
+        # their own instance
+        metric_cols = (
             F.count(F.lit(1)).alias("events_in"),
             F.sum(val.has_error().cast("long")).alias("n_err"),
         )
-        clean = observed.filter(~val.has_error())
+        obs_err = Observation()
+        observed = validated.observe(obs_err, *metric_cols)
+        obs_win = Observation()
+        clean = validated.observe(obs_win, *metric_cols).filter(~val.has_error())
         winners = winners_all = None
         try:
             with futures.ThreadPoolExecutor(max_workers=3) as pool:
@@ -161,7 +169,7 @@ class ReplayEngine:
                 if self.error_dir is not None and mode == "errfirst":
                     # serial errors-first variant (A/B knob): route errors,
                     # then winner-select over the error-excluded narrow scan
-                    err_by_part, err_keys = self._route_errors(observed, batch_id, obs)
+                    err_by_part, err_keys = self._route_errors(observed, batch_id, obs_err)
                     _t("error route")
                     n_err = sum(d["errors"] for d in err_by_part.values())
                     src = pending.select(key, "seq", "part", "op")
@@ -189,7 +197,7 @@ class ReplayEngine:
                         salted=self.salted_dedup, salt_buckets=self.salt_buckets,
                     ).persist(StorageLevel.MEMORY_AND_DISK)
                     f_wall = pool.submit(winners_all.count)
-                    err_by_part, err_keys = self._route_errors(observed, batch_id, obs)
+                    err_by_part, err_keys = self._route_errors(observed, batch_id, obs_err)
                     _t("error route")
                     n_err = sum(d["errors"] for d in err_by_part.values())
                     f_wall.result()
@@ -220,7 +228,7 @@ class ReplayEngine:
                     err_by_part, n_err = {}, None  # from obs
                     if self.error_dir is not None:
                         f_err = pool.submit(
-                            self._route_errors_counts, observed, batch_id, obs
+                            self._route_errors_counts, observed, batch_id, obs_err
                         )
                     base_winners = dd.winner_keys_packed(
                         clean.select(key, "seq", "part", "op"), key=key,
@@ -235,16 +243,24 @@ class ReplayEngine:
                 _t("winners agg")
                 offset_rows = f_offsets.result()
                 _t("phase1 errors+winners+offsets")
-                metrics = obs.get
+                if not offset_rows:
+                    # fully-redelivered/empty batch: return BEFORE touching
+                    # Observation.get — AQE's empty-relation propagation
+                    # removes the CollectMetrics node from collect-style
+                    # actions on an empty stage, leaving the observation
+                    # holding a schemaless row that crashes toPyRow
+                    stats = BatchStats(batch_id, 0, 0, 0, None)
+                    self.history.append(stats)
+                    return stats
+                # metrics from the observation whose single consuming job
+                # has definitely completed in this mode
+                src_obs = obs_err if n_err is not None else obs_win
+                metrics = src_obs.get
                 events_in = int(metrics["events_in"] or 0)
                 if n_err is None:
                     n_err = int(metrics["n_err"] or 0)
                     if n_err and f_err is None:
                         err_by_part[(batch_id, -1)] = {"errors": n_err}
-                if not offset_rows:
-                    stats = BatchStats(batch_id, 0, 0, 0, None)
-                    self.history.append(stats)
-                    return stats
                 touched = {int(r["__bucket"]) for r in bucket_rows}
                 n_winners = sum(int(r["count"]) for r in bucket_rows)
                 new_ckpt = dict(ckpt)
