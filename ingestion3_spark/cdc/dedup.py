@@ -162,12 +162,17 @@ def winner_keys_packed(
     than this form and scaling ~1.5x from 8->32 cores. Packing the order
     into a single BIGINT keeps the whole aggregation inside
     whole-stage-codegen HashAggregateExec (mutable primitive buffer,
-    map-side partial agg). Rows must carry valid ops (feeds are validated
-    first; unknown ops are routed to the error table as ERROR rows).
-    Returns ``(key, seq, part, op)`` — one row per key.
+    map-side partial agg). Unknown ops pack to a NULL key (the op CASE has
+    no otherwise); in optimistic mode this runs over UNvalidated pending
+    rows, and a NULL surviving ``max()`` would unpack to a phantom delete
+    with NULL (seq, part) that the error-key anti-join can never remove —
+    so NULL packed keys are dropped here. A doc whose every event has an
+    unknown op then simply has no winner, which is correct: validation
+    routes all of its events to the error table. Returns ``(key, seq,
+    part, op)`` — one row per key.
     """
     pk = packed_order().alias("_pk")
-    narrow = df.select(key, pk)
+    narrow = df.select(key, pk).filter(F.col("_pk").isNotNull())
     if salted:
         salt = F.pmod(F.xxhash64("_pk"), F.lit(salt_buckets))
         phase1 = (

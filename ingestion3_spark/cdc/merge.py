@@ -97,8 +97,10 @@ def merge_batch(
     # 2-4x slower than a shuffled hash join of the (small) base against the
     # narrow persisted winners. Broadcast only genuinely small winner sets.
     win_keys = winners.select(key)
-    if n_winners is not None and n_winners <= int(
-        _os.environ.get("I3S_ANTI_BCAST_MAX", "1000000")
+    if (
+        broadcast_winners
+        and n_winners is not None
+        and n_winners <= int(_os.environ.get("I3S_ANTI_BCAST_MAX", "1000000"))
     ):
         win_keys = F.broadcast(win_keys)
     else:

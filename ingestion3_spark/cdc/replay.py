@@ -166,6 +166,16 @@ class ReplayEngine:
                 #    per-errored-doc fixup (for high-error feeds).
                 mode = os.environ.get("I3S_WINNER_MODE", "concurrent")
                 f_err = None
+                if mode in ("errfirst", "optimistic") and self.error_dir is not None:
+                    # these modes call _route_errors (and its obs.get) up
+                    # front — check batch emptiness FIRST so a fully-
+                    # redelivered/empty batch takes the same safe early
+                    # return as the concurrent path (the offsets future is
+                    # re-awaited below; resolved futures are idempotent)
+                    if not f_offsets.result():
+                        stats = BatchStats(batch_id, 0, 0, 0, None)
+                        self.history.append(stats)
+                        return stats
                 if self.error_dir is not None and mode == "errfirst":
                     # serial errors-first variant (A/B knob): route errors,
                     # then winner-select over the error-excluded narrow scan
@@ -252,17 +262,37 @@ class ReplayEngine:
                     stats = BatchStats(batch_id, 0, 0, 0, None)
                     self.history.append(stats)
                     return stats
+                touched = {int(r["__bucket"]) for r in bucket_rows}
+                n_winners = sum(int(r["count"]) for r in bucket_rows)
                 # metrics from the observation whose single consuming job
                 # has definitely completed in this mode
-                src_obs = obs_err if n_err is not None else obs_win
-                metrics = src_obs.get
-                events_in = int(metrics["events_in"] or 0)
-                if n_err is None:
+                if n_err is not None:
+                    events_in = int(obs_err.get["events_in"] or 0)
+                elif n_winners > 0:
+                    metrics = obs_win.get
+                    events_in = int(metrics["events_in"] or 0)
                     n_err = int(metrics["n_err"] or 0)
                     if n_err and f_err is None:
                         err_by_part[(batch_id, -1)] = {"errors": n_err}
-                touched = {int(r["__bucket"]) for r in bucket_rows}
-                n_winners = sum(int(r["count"]) for r in bucket_rows)
+                else:
+                    # concurrent-mode poison batch: pending is non-empty but
+                    # every event failed validation, so obs_win's single
+                    # consuming job (the winner agg) ran on an empty-after-
+                    # filter plan — the same AQE empty-relation/CollectMetrics
+                    # condition as the empty-batch return above. Derive the
+                    # totals from the error-routing write (writes never
+                    # collapse) or a plain count instead of touching obs_win.
+                    if f_err is not None:
+                        err_by_part = f_err.result() or {}
+                        f_err = None
+                        metrics = obs_err.get
+                        events_in = int(metrics["events_in"] or 0)
+                        n_err = int(metrics["n_err"] or 0)
+                    else:
+                        events_in = pending.count()
+                        n_err = events_in
+                        if n_err:
+                            err_by_part[(batch_id, -1)] = {"errors": n_err}
                 new_ckpt = dict(ckpt)
                 for r in offset_rows:
                     p = int(r["part"])
@@ -291,7 +321,21 @@ class ReplayEngine:
                 # (seq, part) packed into one long halves the broadcast map
                 # row — the driver-side build of a multi-million-entry map
                 # is SERIAL time, so every byte in it costs scaling
-                pk2 = F.shiftleft(F.col("seq"), 16) + F.col("part").cast("long")
+                # same per-row domain guard as packed_order: the packing is
+                # only injective while part < 2^16 and seq < 2^42
+                pk2 = (
+                    F.shiftleft(F.col("seq"), 16)
+                    + F.col("part").cast("long")
+                    + F.coalesce(
+                        F.assert_true(
+                            (F.col("part") >= 0) & (F.col("part") < F.lit(dd.PACK_PART_MAX))
+                            & (F.col("seq") >= 0) & (F.col("seq") < F.lit(dd.PACK_SEQ_MAX)),
+                            F.lit("seq/part outside pk2 packed domain "
+                                  "(seq < 2^42, part < 2^16)"),
+                        ).cast("long"),
+                        F.lit(0),
+                    )
+                )
                 if bcast:
                     wk = F.broadcast(
                         winners.select(
@@ -352,7 +396,7 @@ class ReplayEngine:
         part), lazy DataFrame of this batch's deduped error (part, seq)
         keys — the winner-selection anti-join input)."""
         err_by_part: dict[tuple, dict] = {}
-        err_path = os.path.join(self.error_dir, "errors")
+        err_path = self._err_path()
         (
             observed.filter(val.has_error())
             .select(
@@ -431,25 +475,41 @@ class ReplayEngine:
         ids = [s.batch_id for s in self.table.snapshots() if s.batch_id is not None]
         return (max(ids) + 1) if ids else 0
 
+    def _err_path(self) -> str:
+        """Current (v2, batch_id-partitioned) error sink directory.
+
+        Versioned because the round-1 layout wrote ``batch_id`` as a DATA
+        column into ``errors/`` while v2 writes it as a PARTITION column —
+        mixing the two in one parquet root makes partition inference clash
+        with the embedded column. Legacy dirs stay readable via
+        ``errors_df``; new writes never touch them.
+        """
+        return os.path.join(self.error_dir, "errors_v2")
+
     def errors_df(self) -> DataFrame:
-        """Error-table reader.
+        """Error-table reader (v2 partitioned layout ∪ legacy v1 layout).
 
         The error sink is an append-only parquet written BEFORE the merge
         commit, so a crash between error-write and commit leaves duplicate
         rows on retry (at-least-once diagnostics — observed under SIGKILL).
         Reads therefore dedup on the unique delivery key (part, seq).
         """
-        path = os.path.join(self.error_dir, "errors") if self.error_dir else None
-        if not path or not os.path.exists(path):
+        cols = [
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "part", "seq", "doc_id", "op", "messages",
+        ]
+        parts = []
+        if self.error_dir:
+            for sub in ("errors_v2", "errors"):
+                p = os.path.join(self.error_dir, sub)
+                if os.path.exists(p):
+                    parts.append(self.spark.read.parquet(p).select(*cols))
+        if not parts:
             return self.spark.createDataFrame(
                 [], "batch_id long, part int, seq long, doc_id string, op string, "
                     "messages " + val.MESSAGE_SCHEMA
             )
-        return (
-            self.spark.read.parquet(path)
-            .select(
-                F.col("batch_id").cast("long").alias("batch_id"),
-                "part", "seq", "doc_id", "op", "messages",
-            )
-            .dropDuplicates(["part", "seq"])
-        )
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df.dropDuplicates(["part", "seq"])

@@ -189,6 +189,56 @@ def date_begin_end(col) -> Column:
     )
 
 
+# ------------------------------------------- per-field multi-valued dedup (A10)
+def dedupe_record_fields(
+    df,
+    array_cols: tuple[str, ...] | list[str],
+    message_col: str | None = "messages",
+    id_col: str = "doc_id",
+):
+    """In-record dedup of multi-valued fields (SURVEY.md §2 A10): apply a
+    first-occurrence-order ``array_distinct`` to each named array column —
+    the vectorized form of the reference's per-field ``Seq.distinct`` pass
+    (``enrichments/normalizations/Deduplication.scala:16-75``, run as the
+    first enrichment in ``EnrichmentDriver.scala:57-65``).
+
+    When ``message_col`` is set (and present in ``df``), every actually-
+    changed field appends an info message recording the shrink — the
+    reference's "normalize + record what changed" contract. Token-sequence
+    payloads (``tokens``) must NOT be passed here: a token array is an
+    ordered sequence, not a value set.
+    """
+    out = df
+    have_msgs = message_col is not None and message_col in df.columns
+    for c in array_cols:
+        deduped = F.array_distinct(F.col(c))
+        if have_msgs:
+            changed = F.size(deduped) < F.size(F.col(c))
+            info = F.struct(
+                F.lit("duplicate values removed").alias("message"),
+                F.lit("info").alias("level"),
+                F.col(id_col).cast("string").alias("id"),
+                F.lit(c).alias("field"),
+                F.size(F.col(c)).cast("string").alias("value"),
+                F.size(deduped).cast("string").alias("enrichedValue"),
+            )
+            out = out.withColumn(
+                message_col,
+                F.when(changed, F.array_append(F.col(message_col), info)).otherwise(
+                    F.col(message_col)
+                ),
+            )
+        out = out.withColumn(c, deduped)
+    return out
+
+
+def array_distinct_ordered(col) -> Column:
+    """First-occurrence-order distinct for one array column (the kernel
+    inside :func:`dedupe_record_fields`; Spark's ``array_distinct``
+    preserves first-occurrence order like Scala ``Seq.distinct``)."""
+    return F.array_distinct(_c(col))
+
+
 # ------------------------------------------------- allow/block term filters
 def apply_allow_filter(arr_col, allow_regexes: list[str]) -> Column:
     """Keep array terms matching ANY allow regex (StringNormalizationUtils.
@@ -274,33 +324,80 @@ def is_recognized_rights_uri(col) -> Column:
 
 
 # ------------------------------------------------------------- EDTF extras
+# date-part pattern family mirroring EDTFDate.scala:7-17: a year with an
+# optional month(-day) or season (21-24); qualifiers [?~]+ allowed and
+# stripped; "unknown" interval endpoints become empty strings.
+_EDTF_YMDS = r"\d{4}(?:-(?:0[1-9]|1[0-2])(?:-(?:0[1-9]|[12][0-9]|3[01]))?|-2[1-4])?"
+_Q = r"[?~]*"
+
+
+def _edtf_clean(part: Column) -> Column:
+    """EDTFDate.scala ``clean``: drop 'unknown', strip a season suffix."""
+    c = F.regexp_replace(part, r"^unknown$", "")
+    return F.regexp_replace(c, r"^(\d{4})-2[1-4]$", r"$1")
+
+
 def edtf_begin_end(col) -> Column:
-    """EDTF level-1 forms beyond date_begin_end (utils/EDTFDate.scala:
-    115-218, enrichments/ParseDateEnrichment.scala:14-101): uncertainty
-    '1984?'/'1984~', unspecified digits '198u'/'19uu', intervals
-    '1984/1985' and 'YYYY-MM/YYYY-MM'. Returns struct<begin,end> strings
-    (null-null when unparseable here — callers coalesce with
-    date_begin_end)."""
+    """EDTF level-1/2 forms beyond date_begin_end (utils/EDTFDate.scala:
+    115-218, enrichments/ParseDateEnrichment.scala:14-101):
+
+    - uncertainty/approximation '1984?' / '1984~' / '1984?~' (qualifiers
+      stripped, any date form);
+    - seasons '1984-21'..'1984-24' -> the bare year (clean's strip-season);
+    - unspecified digits '198u' / '19uu' / 'YYYY-MM-uu' (month range) /
+      'YYYY-uu-uu' (Jan 1 - Dec 31); 'YYYY-uu' matches but yields the
+      reference's empty-string range;
+    - intervals 'A/B' where each side is any date form, optionally
+      qualified ('1984?/1986~') or 'unknown' (empty string endpoint);
+    - open intervals 'A/open' -> (A, '');
+    - timestamps 'YYYY-MM-DDThh:mm:ss[Z|±hh:mm]' -> date part only.
+
+    Returns struct<begin:string, end:string> (null-null when unparseable
+    here — callers coalesce with date_begin_end; empty string = the
+    reference's 'matched but unbounded/unspecified' marker)."""
     c = F.trim(_c(col))
-    y = r"(\d{4})"
-    uncertain = F.regexp_extract(c, rf"^{y}[?~]$", 1)
-    dec_u = F.regexp_extract(c, r"^(\d{3})u$", 1)
-    cen_u = F.regexp_extract(c, r"^(\d{2})uu$", 1)
-    iv_lo = F.regexp_extract(c, rf"^{y}/{y}$", 1)
-    iv_hi = F.regexp_extract(c, rf"^{y}/{y}$", 2)
-    ivm = r"^(\d{4}-\d{2})/(\d{4}-\d{2})$"
-    ivm_lo = F.regexp_extract(c, ivm, 1)
-    ivm_hi = F.regexp_extract(c, ivm, 2)
 
     def s(b, e):
         return F.struct(b.alias("begin"), e.alias("end"))
 
     null_s = F.lit(None).cast("string")
+    empty = F.lit("")
+
+    # exact date (incl. season), optional qualifiers
+    exact = F.regexp_extract(c, rf"^({_EDTF_YMDS}){_Q}$", 1)
+    exact_clean = _edtf_clean(exact)
+    # unspecified-digit family (dateRegex branch -> rangeForUnspecDate)
+    dec_u = F.regexp_extract(c, rf"^(\d{{3}})u{_Q}$", 1)
+    cen_u = F.regexp_extract(c, rf"^(\d{{2}})uu{_Q}$", 1)
+    ym_u = F.regexp_extract(c, rf"^(\d{{4}}-\d{{2}})-uu{_Q}$", 1)
+    y_uu_uu = F.regexp_extract(c, rf"^(\d{{4}})-uu-uu{_Q}$", 1)
+    y_uu = F.regexp_extract(c, rf"^(\d{{4}})-uu{_Q}$", 1)
+    # timestamp (dateAndTimeRegex)
+    ts = F.regexp_extract(
+        c, r"^(\d{4}-\d{2}-\d{2})T\d{2}:\d{2}:\d{2}(?:Z|[\+\-]\d{2}:\d{2})?$", 1
+    )
+    # qualified interval, each side a date form or 'unknown'
+    side = rf"((?:{_EDTF_YMDS})|unknown)"
+    iv = rf"^{side}{_Q}/{side}{_Q}$"
+    iv_lo, iv_hi = F.regexp_extract(c, iv, 1), F.regexp_extract(c, iv, 2)
+    # open interval
+    open_lo = F.regexp_extract(c, rf"^({_EDTF_YMDS}){_Q}/open$", 1)
+
     return (
-        F.when(uncertain != "", s(uncertain, uncertain))
-        .when(dec_u != "", s(F.concat(dec_u, F.lit("0")), F.concat(dec_u, F.lit("9"))))
+        F.when(dec_u != "", s(F.concat(dec_u, F.lit("0")), F.concat(dec_u, F.lit("9"))))
         .when(cen_u != "", s(F.concat(cen_u, F.lit("00")), F.concat(cen_u, F.lit("99"))))
-        .when((iv_lo != "") & (iv_hi != ""), s(iv_lo, iv_hi))
-        .when((ivm_lo != "") & (ivm_hi != ""), s(ivm_lo, ivm_hi))
+        .when(ym_u != "", s(ym_u, ym_u))
+        .when(
+            y_uu_uu != "",
+            s(F.concat(y_uu_uu, F.lit("-01-01")), F.concat(y_uu_uu, F.lit("-12-31"))),
+        )
+        .when(y_uu != "", s(empty, empty))
+        .when(exact != "", s(exact_clean, exact_clean))
+        .when(ts != "", s(ts, ts))
+        .when(
+            (iv_lo != "") | (iv_hi != ""),
+            s(_edtf_clean(iv_lo), _edtf_clean(iv_hi)),
+        )
+        .when(open_lo != "", s(_edtf_clean(open_lo), empty))
         .otherwise(s(null_s, null_s))
     )

@@ -655,42 +655,70 @@ SQL_ann_lsh_topk = sketch_oracles.lsh_topk_sql(dim=64, n_planes=8, seed=42, k=10
 
 
 # --------------------------------------------- enrichment kernels (§2.8)
+# (case, expected_begin, expected_end) — EDTF level-1/2 semantics from
+# utils/EDTFDate.scala:115-218 ('' = matched-but-unbounded, None = no parse)
+_DATE_CASES = [
+    ("1984", "1984", "1984"),                       # DateBuilder single year
+    ("1984-1990", "1984", "1990"),                  # DateBuilder range
+    ("1950s", "1950", "1959"),                      # decade
+    ("circa 1920", "1920", "1920"),                 # circa
+    ("not a date", None, None),                     # unparseable
+    ("1984-22", "1984", "1984"),                    # EDTF season -> bare year
+    ("1984?/1986~", "1984", "1986"),                # qualified interval
+    ("19uu", "1900", "1999"),                       # unspecified century
+    ("1984-05-12T10:30:00Z", "1984-05-12", "1984-05-12"),  # timestamp
+    ("unknown/2000~", "", "2000"),                  # unknown begin endpoint
+    ("1973/open", "1973", ""),                      # open interval
+    ("1984-uu-uu", "1984-01-01", "1984-12-31"),     # unspecified month+day
+]
+
+
 def q_date_parse(spark, sf):
-    """Date-range parsing kernel (DateBuilder/ParseDateEnrichment analog)
-    over a deterministic mixed date-string column derived from events."""
-    from ingestion3_spark.functions.normalize import date_begin_end
+    """Date-range parsing kernel over a deterministic mixed date-string
+    column derived from events: EDTF level-1/2 (seasons, qualified and
+    unknown/open intervals, unspecified digits, timestamps —
+    ``utils/EDTFDate.scala:115-218``) with DateBuilder patterns
+    (``enrichments/date/DateBuilder.scala:16-55``) as the fallback, the
+    reference's ParseDateEnrichment precedence."""
+    from ingestion3_spark.functions.normalize import date_begin_end, edtf_begin_end
 
     ev = load(spark, sf, "events")
-    raw = ev.withColumn(
-        "raw_date",
-        F.when(F.col("user_id") % 5 == 0, F.lit("1984"))
-        .when(F.col("user_id") % 5 == 1, F.lit("1984-1990"))
-        .when(F.col("user_id") % 5 == 2, F.lit("1950s"))
-        .when(F.col("user_id") % 5 == 3, F.lit("circa 1920"))
-        .otherwise(F.lit("unknown")),
+    raw = ev.select(
+        F.element_at(
+            F.array(*[F.lit(c) for c, _b, _e in _DATE_CASES]),
+            (F.col("user_id") % len(_DATE_CASES) + 1).cast("int"),
+        ).alias("raw_date")
     )
-    parsed = raw.withColumn("d", date_begin_end("raw_date"))
+    e, b = edtf_begin_end("raw_date"), date_begin_end("raw_date")
+    d = F.when(e["begin"].isNotNull() | e["end"].isNotNull(), e).otherwise(b)
+    parsed = raw.withColumn("d", d)
     return (
         parsed.groupBy("raw_date", F.col("d.begin").alias("begin"), F.col("d.end").alias("end"))
         .agg(F.count("*").alias("n"))
     )
 
 
-SQL_date_parse = """
+def _sql_date_parse() -> str:
+    def lit(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    cases = ", ".join(lit(c) for c, _b, _e in _DATE_CASES)
+    b_map = " ".join(f"WHEN {lit(c)} THEN {lit(b)}" for c, b, _e in _DATE_CASES)
+    e_map = " ".join(f"WHEN {lit(c)} THEN {lit(e)}" for c, _b, e in _DATE_CASES)
+    n = len(_DATE_CASES)
+    return f"""
 WITH raw AS (
-  SELECT CASE CAST(user_id % 5 AS INT)
-    WHEN 0 THEN '1984' WHEN 1 THEN '1984-1990' WHEN 2 THEN '1950s'
-    WHEN 3 THEN 'circa 1920' ELSE 'unknown' END AS raw_date
-  FROM events
+  SELECT ([{cases}])[CAST(user_id % {n} AS INT) + 1] AS raw_date FROM events
 )
 SELECT raw_date,
-  CASE raw_date WHEN '1984' THEN '1984' WHEN '1984-1990' THEN '1984'
-    WHEN '1950s' THEN '1950' WHEN 'circa 1920' THEN '1920' END AS begin,
-  CASE raw_date WHEN '1984' THEN '1984' WHEN '1984-1990' THEN '1990'
-    WHEN '1950s' THEN '1959' WHEN 'circa 1920' THEN '1920' END AS "end",
+  CASE raw_date {b_map} END AS begin,
+  CASE raw_date {e_map} END AS "end",
   COUNT(*) AS n
 FROM raw GROUP BY 1, 2, 3
 """
+
+
+SQL_date_parse = _sql_date_parse()
 
 
 _RIGHTS_SLUGS = ["InC", "NoC-US", "CNE", "NotARealStatement"]
@@ -1104,8 +1132,18 @@ def q_string_normalize_kernels(spark, sf):
         N.strip_unmatched_opening_brackets("raw").alias("openb"),
         N.strip_unmatched_closing_brackets("raw").alias("closeb"),
         N.cleanup_geocoordinates("raw").alias("geo"),
-        N.split_at_delimiter("raw", ";").alias("split_arr"),
-        N.apply_block_filter(N.split_at_delimiter("raw", ";"), ["two", "^say"]).alias("blocked"),
+        # Joined to scalar strings (\x01 delimiter): the driver's pandas
+        # canonicalizer cannot sort/hash raw array<string> cells (r2's one
+        # red row); the join is lossless for these fixtures.
+        F.array_join(N.split_at_delimiter("raw", ";"), "\x01").alias("split_arr"),
+        F.array_join(
+            N.apply_block_filter(N.split_at_delimiter("raw", ";"), ["two", "^say"]), "\x01"
+        ).alias("blocked"),
+        # A10 per-field multi-valued dedup (Deduplication.scala:16-75):
+        # first-occurrence-order distinct over the split terms
+        F.array_join(
+            N.array_distinct_ordered(N.split_at_delimiter("raw", ";")), "\x01"
+        ).alias("dedup_arr"),
     )
     return out.groupBy(*out.columns).agg(F.count("*").alias("n"))
 
@@ -1149,11 +1187,18 @@ WITH d AS (
               || ', ' ||
               regexp_extract(raw, '^(-?\d+\.?\d*)[NS]?,?\s*(-?\d+\.?\d*)[EW]?$', 2)
          ELSE '' END AS geo,
-    list_filter(list_transform(string_split(raw, ';'), s -> trim(s)), s -> s <> '') AS split_arr,
-    list_filter(
-      list_filter(list_transform(string_split(raw, ';'), s -> trim(s)), s -> s <> ''),
-      s -> NOT regexp_matches(s, '(?i)(?:two)|(?:^say)')) AS blocked
-  FROM d
+    array_to_string(sp, chr(1)) AS split_arr,
+    array_to_string(
+      list_filter(sp, s -> NOT regexp_matches(s, '(?i)(?:two)|(?:^say)')),
+      chr(1)) AS blocked,
+    array_to_string(
+      list_filter(sp, (s, i) -> list_position(sp, s) = i),
+      chr(1)) AS dedup_arr
+  FROM (
+    SELECT raw,
+      list_filter(list_transform(string_split(raw, ';'), s -> trim(s)), s -> s <> '') AS sp
+    FROM d
+  )
 )
 SELECT *, COUNT(*) AS n FROM k
 GROUP BY ALL

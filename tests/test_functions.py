@@ -129,3 +129,29 @@ def test_ivf_cells_partition_space(spark, vecs):
     cells = vecs.select("vec_id", similarity.ivf_cell("embedding", cents).alias("cell"))
     vals = {r["cell"] for r in cells.collect()}
     assert vals <= {0, 1} and len(vals) == 2
+
+
+def test_dedupe_record_fields(spark):
+    """A10 per-field multi-valued dedup (Deduplication.scala:16-75):
+    first-occurrence order, info message appended only on change, and the
+    token payload untouched when not named."""
+    from ingestion3_spark.cdc import validate as val
+    from ingestion3_spark.functions.normalize import dedupe_record_fields
+
+    df = spark.sql(
+        "select 'd1' doc_id, array('b','a','b','c','a') subject, "
+        "array('x','y') format, array(7,7,8) tokens, "
+        "cast(array() as " + val.MESSAGE_SCHEMA + ") messages"
+    )
+    out = dedupe_record_fields(df, ["subject", "format"]).collect()[0]
+    assert out["subject"] == ["b", "a", "c"]  # first-occurrence order
+    assert out["format"] == ["x", "y"]        # unchanged
+    assert out["tokens"] == [7, 7, 8]         # sequences never deduped
+    msgs = out["messages"]
+    assert len(msgs) == 1
+    assert msgs[0]["level"] == "info" and msgs[0]["field"] == "subject"
+    assert (msgs[0]["value"], msgs[0]["enrichedValue"]) == ("5", "3")
+
+    # without a messages column: values dedup, no message bookkeeping
+    out2 = dedupe_record_fields(df.drop("messages"), ["subject"]).collect()[0]
+    assert out2["subject"] == ["b", "a", "c"]

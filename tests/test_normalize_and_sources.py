@@ -84,6 +84,23 @@ EDTF_CASES = [
     ("1984/1985", ("1984", "1985")),
     ("1984-06/1984-08", ("1984-06", "1984-08")),
     ("gibberish", (None, None)),
+    # EDTF level-2 additions (round 3): seasons, qualified/unknown/open
+    # intervals, timestamps, remaining unspecified forms — semantics from
+    # utils/EDTFDate.scala:115-218 ('' = matched-but-unbounded endpoint)
+    ("1984-21", ("1984", "1984")),           # spring -> bare year (clean)
+    ("1984-24", ("1984", "1984")),           # winter
+    ("1984?~", ("1984", "1984")),            # stacked qualifiers
+    ("1984?/1986~", ("1984", "1986")),       # qualified interval
+    ("1984-06~/1984-08?", ("1984-06", "1984-08")),
+    ("unknown/2000~", ("", "2000")),         # unknown begin
+    ("1973/unknown", ("1973", "")),          # unknown end
+    ("1973/open", ("1973", "")),             # open interval
+    ("1984-05-12T10:30:00Z", ("1984-05-12", "1984-05-12")),
+    ("1984-05-12T10:30:00+05:00", ("1984-05-12", "1984-05-12")),
+    ("1984-05-uu", ("1984-05", "1984-05")),  # unspecified day
+    ("1984-uu-uu", ("1984-01-01", "1984-12-31")),
+    ("1984-uu", ("", "")),                   # matched, unspecified range
+    ("1984-22/1985-23", ("1984", "1985")),   # seasons inside an interval
 ]
 
 
