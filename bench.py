@@ -30,7 +30,12 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
 CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "500000"))
 CDC_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
+# MOR evidence row: small delta over a large base — the 10^10-scale design
+# point where O(delta) delta-file writes beat COW's touched-bucket rewrite
+MOR_BENCH = os.environ.get("SPARK_GRAFT_MOR_BENCH", "1") == "1"
+MOR_EVENTS = int(os.environ.get("SPARK_GRAFT_MOR_EVENTS", "1000000"))
+MOR_BASE = int(os.environ.get("SPARK_GRAFT_MOR_BASE", "4000000"))
 # tmpfs by default: the sandbox's single virtio disk saturates at ~8 cores
 # and hides CPU scaling; a real cluster has NVMe/distributed storage.
 WORK = os.environ.get(
@@ -134,12 +139,21 @@ def hw_envelope(n: int, n4: int) -> dict:
             "hw_speedup": round(out[n4] / out[n], 3)}
 
 
-def run_replay(cores: int, feed: str, num_batches: int = 1) -> dict:
+def run_replay(
+    cores: int,
+    feed: str,
+    num_batches: int = 1,
+    n_base: int | None = None,
+    env_extra: dict | None = None,
+) -> dict:
+    env = dict(os.environ)
+    env.update(env_extra or {})
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       "tools", "replay_bench.py"),
-         str(cores), feed, str(CDC_BASE), str(num_batches), WORK, str(CDC_REPS)],
-        capture_output=True, text=True, check=True,
+         str(cores), feed, str(CDC_BASE if n_base is None else n_base),
+         str(num_batches), WORK, str(CDC_REPS)],
+        capture_output=True, text=True, check=True, env=env,
     )
     last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(last)
@@ -254,12 +268,48 @@ def main() -> int:
             "normalized_scaling_efficiency": round(speedup / ceil_sh_sp, 3),
             "rounds": rounds,
         }
+        # conservative estimator alongside min-over-rounds: the MEDIAN of
+        # the per-round normalized (and raw) efficiencies — a single
+        # throttle episode cannot inflate it, and it does not mix samples
+        # across rounds. Both estimators are reported; see BENCH.md.
+        def _median(xs):
+            s = sorted(xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+        cdc["normalized_efficiency_median_round"] = round(
+            _median([r["normalized_efficiency"] for r in rounds]), 3
+        )
+        cdc["raw_efficiency_median_round"] = round(
+            _median([r["efficiency"] for r in rounds]), 3
+        )
         times["cdc_replay"] = t_4n
+
+    if MOR_BENCH:
+        # delta << base: MOR appends O(delta) delta files; COW rewrites
+        # every touched bucket of the large base. Same feed, same oracle.
+        feed_sm = ensure_feed(WORK, MOR_EVENTS, MOR_BASE)
+        quick = {"I3S_WARM_SECONDS": "20", "I3S_CEILING": "0"}
+        r_cow = run_replay(CPUS, feed_sm, n_base=MOR_BASE, env_extra=quick)
+        r_mor = run_replay(
+            CPUS, feed_sm, n_base=MOR_BASE,
+            env_extra={**quick, "I3S_MERGE_MODE": "mor"},
+        )
+        cdc["mor_small_delta"] = {
+            "events": r_mor["events"],
+            "base_docs": MOR_BASE,
+            "cores": CPUS,
+            "seconds_cow": r_cow["seconds"],
+            "thr_cow": r_cow["events_per_sec"],
+            "seconds_mor": r_mor["seconds"],
+            "thr_mor": r_mor["events_per_sec"],
+            "mor_speedup_vs_cow": round(r_cow["seconds"] / r_mor["seconds"], 3),
+        }
 
     print(json.dumps({
         "metric": "change_events_per_sec",
         "value": cdc["thr_4N"],
-        "unit": "sec",
+        "unit": "events/sec",
         "queries": times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cdc": cdc,

@@ -2,8 +2,14 @@
 
 Primary storage is parquet/LakeTable. The reference's Avro pipeline format
 (S1/S2) maps to ``format("avro")`` WHEN the spark-avro module is on the
-classpath (it is an external module; absent in this sandbox, so the
-helpers raise a clear error instead of failing deep in planning).
+classpath (it is an external module, version-matched to the Spark
+install); when it is absent (as in this sandbox — no network to fetch
+it), the helpers fall back to :mod:`ingestion3_spark.sources.avro_codec`,
+a distributed pure-Python implementation of the public Avro container
+spec (binaryFile scan + mapInPandas decode; executor-side partition-file
+writes). The fallback is spec-conformant (cross-checked against the JVM
+DataFileReader in tests) but Python-decode-bound — production clusters
+should ship the jar.
 """
 
 from __future__ import annotations
@@ -24,21 +30,29 @@ def avro_available(spark: SparkSession) -> bool:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan (MappingExecutor.scala:91 analog). Requires spark-avro."""
-    if not avro_available(spark):
-        raise RuntimeError(
-            "spark-avro module not on classpath; add "
-            "org.apache.spark:spark-avro_2.13 via --packages, or use parquet"
-        )
-    return spark.read.format("avro").load(path)
+    """Avro scan (MappingExecutor.scala:91 analog): spark-avro when on the
+    classpath, else the distributed pure-Python codec fallback."""
+    if avro_available(spark):
+        return spark.read.format("avro").load(path)
+    from ingestion3_spark.sources.avro_codec import read_avro_distributed
+
+    return read_avro_distributed(spark, path)
 
 
 def write_avro(df: DataFrame, path: str, avro_schema: str | None = None) -> None:
-    """Avro sink with optional explicit schema (HarvestExecutor.scala:97-100)."""
-    w = df.write.format("avro").mode("overwrite")
-    if avro_schema:
-        w = w.option("avroSchema", avro_schema)
-    w.save(path)
+    """Avro sink with optional explicit schema (HarvestExecutor.scala:97-100):
+    spark-avro when on the classpath, else the distributed codec fallback
+    (which always writes the DataFrame's own schema — pass data already
+    cast when an explicit schema is required)."""
+    if avro_available(df.sparkSession):
+        w = df.write.format("avro").mode("overwrite")
+        if avro_schema:
+            w = w.option("avroSchema", avro_schema)
+        w.save(path)
+        return
+    from ingestion3_spark.sources.avro_codec import write_avro_distributed
+
+    write_avro_distributed(df, path)
 
 
 # ------------------------------------------------------------- jsonl (S4/S5)
