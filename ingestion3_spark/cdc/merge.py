@@ -151,24 +151,45 @@ def merge_batch(
             _t("delta_write")
             return files
         # copy-on-write: base rows not touched by delta ∪ upsert payloads.
-        # Both union branches arrive hash(key)-partitioned (the dedup
-        # exchange and the anti-join exchange), so the write takes the
-        # fanout path — no second full materialization of the wide payload
-        # just to co-locate buckets.
         upserts = changes.filter(F.col("op") != "delete").select(*data_cols)
         base = table.read(buckets=touched)
+        if _os.environ.get("I3S_COW_SPLIT", "1") == "1" and broadcast_winners:
+            # SPLIT write (round-3 scale design): only the UPSERTS — O(delta)
+            # wide rows — go through the co-locating exchange; base
+            # survivors take a map-side broadcast anti-join and a fanout
+            # write with NO exchange at all. Base-scan tasks are bucket-
+            # aligned (each parquet file belongs to exactly one bucket
+            # dir), so the dynamic-partition writer sees ~1 partition value
+            # per task and the fanout sort penalty (the reason the r2
+            # whole-union fanout lost) vanishes. At 10^10-row scale this is
+            # the difference between shuffling the TABLE and shuffling the
+            # DELTA per merge. Requires broadcastable winners; the huge-
+            # winner fallback below keeps the single-exchange union plan.
+            with futures.ThreadPoolExecutor(max_workers=2) as wpool:
+                f_base = wpool.submit(
+                    lambda: table.write_files(
+                        base.select(*data_cols).join(
+                            F.broadcast(winners.select(key)), key, "left_anti"
+                        ),
+                        key_partitioned=True,
+                    )
+                )
+                f_ups = wpool.submit(lambda: table.write_files(upserts))
+                files = f_base.result() + f_ups.result()
+            _t("cow_write_split")
+            return files
         new_data = (
             base.select(*data_cols)
             .join(win_keys, key, "left_anti")
             .unionByName(upserts)
         )
-        # fanout (key_partitioned=True) measured SLOWER here despite saving
-        # an exchange: Spark's dynamic-partition write locally SORTS each
-        # task's rows by partition value when a task holds many buckets
-        # (maxConcurrentOutputFileWriters=0 default), and ~900 small files
-        # add writer overhead — the single repartition("__bucket") exchange
-        # is cheaper (+9s vs +3s at 32 cores). Knob kept for storage
-        # layouts where the exchange dominates.
+        # single-exchange union fallback (huge winner sets): fanout
+        # (key_partitioned=True) measured SLOWER for the union despite
+        # saving an exchange — a union task holds MANY buckets, so Spark's
+        # dynamic-partition write locally sorts every task's rows
+        # (maxConcurrentOutputFileWriters=0 default) and ~900 small files
+        # add writer overhead; the single repartition("__bucket") exchange
+        # is cheaper there (+9s vs +3s at 32 cores).
         files = table.write_files(
             new_data,
             key_partitioned=_os.environ.get("I3S_FANOUT", "0") == "1",

@@ -1208,6 +1208,93 @@ GROUP BY ALL
 SQL_string_normalize_kernels = _sql_string_normalize_kernels()
 
 
+# ----------------------------------------------- streaming driver entries
+def _event_stream(spark, sf):
+    """events.parquet as a bounded Structured Streaming source (availableNow
+    drains it in deterministic batches)."""
+    static = load(spark, sf, "events")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+
+
+def _run_to_memory(stream_df, mode: str) -> "DataFrame":
+    import uuid as _uuid
+
+    name = "q_stream_" + _uuid.uuid4().hex[:10]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return stream_df.sparkSession.table(name)
+
+
+def q_streaming_dedup_state(spark, sf):
+    """Stateful streaming dedup under the driver gate: the
+    ``applyInPandasWithState`` per-key seq high-water-mark operator
+    (streaming/stateful.py — the streaming twin of the batch
+    last-event-wins dedup, ``NaraMergeUtil.scala:129-135`` upgraded) run
+    with an availableNow trigger over the events table. ``seq`` is
+    ``event_id % 1000`` so every user sees re-delivered sequence numbers;
+    the emitted set per user is exactly its distinct seqs (single source
+    file -> single micro-batch; the operator suppresses within-batch
+    re-deliveries deterministically). Output: per-user emitted-row count +
+    max emitted seq, equal to DuckDB's COUNT(DISTINCT)/MAX."""
+    from ingestion3_spark.streaming.stateful import dedup_stream
+
+    ev = _event_stream(spark, sf).select(
+        F.col("user_id"),
+        F.pmod(F.col("event_id"), F.lit(1000)).cast("long").alias("seq"),
+    )
+    deduped = dedup_stream(ev, key_col="user_id", output_schema="user_id long, seq long")
+    tbl = _run_to_memory(deduped, "append")
+    return tbl.groupBy("user_id").agg(
+        F.count("*").alias("n_emitted"), F.max("seq").alias("max_seq")
+    )
+
+
+SQL_streaming_dedup_state = """
+SELECT user_id,
+       COUNT(DISTINCT event_id % 1000) AS n_emitted,
+       MAX(event_id % 1000) AS max_seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_streaming_window_counts(spark, sf):
+    """Watermarked tumbling-window counts (streaming/windows.py) drained
+    with availableNow into a complete-mode memory sink — every window is
+    emitted, so the result equals the batch hour-bucket aggregation the
+    DuckDB oracle computes. Append-mode emission (window finalized when
+    the watermark passes) is exercised in pytest; complete mode is used
+    here because the gate needs the trailing unfinalized windows too."""
+    from ingestion3_spark.streaming.windows import windowed_event_counts
+
+    # watermarks require TIMESTAMP (with zone); the parquet ts is NTZ
+    src = _event_stream(spark, sf).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_event_counts(
+        src,
+        ts_col="ts",
+        key_col="event_type",
+        window="1 hour",
+        watermark="10 minutes",
+    )
+    tbl = _run_to_memory(out, "complete")
+    return tbl.select("window_start", "event_type", "n")
+
+
+SQL_streaming_window_counts = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- registry
 QUERIES: dict[str, callable] = {
     "cdc_last_event_wins": q_cdc_last_event_wins,
@@ -1249,6 +1336,8 @@ QUERIES: dict[str, callable] = {
     "vocab_enrich": q_vocab_enrich,
     "xml_extract": q_xml_extract,
     "string_normalize_kernels": q_string_normalize_kernels,
+    "streaming_dedup_state": q_streaming_dedup_state,
+    "streaming_window_counts": q_streaming_window_counts,
 }
 
 ORACLES: dict[str, str] = {

@@ -33,8 +33,11 @@ def _dedup_group(
 ) -> Iterable[pd.DataFrame]:
     (max_seq,) = state.get if state.exists else (-1,)
     for pdf in pdfs:
-        pdf = pdf.sort_values("seq")
-        fresh = pdf[pdf["seq"] > max_seq]
+        pdf = pdf.sort_values("seq", kind="stable")
+        # suppress stale deliveries (<= state high-water mark) AND
+        # within-batch re-deliveries of the same seq (stable sort -> the
+        # first delivery of each seq wins, mirroring the batch dedup twin)
+        fresh = pdf[pdf["seq"] > max_seq].drop_duplicates(subset=["seq"])
         if len(fresh):
             max_seq = int(fresh["seq"].max())
             yield fresh
