@@ -166,15 +166,43 @@ def merge_batch(
             # DELTA per merge. Requires broadcastable winners; the huge-
             # winner fallback below keeps the single-exchange union plan.
             with futures.ThreadPoolExecutor(max_workers=2) as wpool:
-                f_base = wpool.submit(
-                    lambda: table.write_files(
-                        base.select(*data_cols).join(
-                            F.broadcast(winners.select(key)), key, "left_anti"
-                        ),
-                        key_partitioned=True,
+                # base-survivor anti-join strategy (A/B knob): 'bcast'
+                # broadcasts the winner keys — no exchange, bucket-aligned
+                # fanout write, but the driver builds a |winners|-entry
+                # string hash map serially (~2s at 3.5M keys); 'shuffle'
+                # pays two small exchanges (wide base + narrow winners)
+                # with zero serial driver time — better when |winners| is
+                # millions and base is comparatively small.
+                if _os.environ.get("I3S_BASE_ANTI", "bcast") == "shuffle":
+                    f_base = wpool.submit(
+                        lambda: table.write_files(
+                            base.select(*data_cols).join(
+                                winners.select(key).hint("shuffle_hash"),
+                                key,
+                                "left_anti",
+                            )
+                        )
                     )
+                else:
+                    f_base = wpool.submit(
+                        lambda: table.write_files(
+                            base.select(*data_cols).join(
+                                F.broadcast(winners.select(key)), key, "left_anti"
+                            ),
+                            key_partitioned=True,
+                        )
+                    )
+                # the dedup exchange (dropDuplicates' hash(key) shuffle)
+                # already co-locates equal keys, so the upsert write can
+                # reuse it as its partitioning (fanout) instead of paying a
+                # second full exchange of the wide delta — knobbed because
+                # the fanout writer's per-task dynamic-partition handling
+                # (sort fallback vs concurrent writers) is storage-profile
+                # dependent; pair with spark.sql.maxConcurrentOutputFileWriters
+                fan = _os.environ.get("I3S_SPLIT_UPSERT_FANOUT", "0") == "1"
+                f_ups = wpool.submit(
+                    lambda: table.write_files(upserts, key_partitioned=fan)
                 )
-                f_ups = wpool.submit(lambda: table.write_files(upserts))
                 files = f_base.result() + f_ups.result()
             _t("cow_write_split")
             return files

@@ -108,6 +108,11 @@ def main() -> int:
             "spark.sql.parquet.compression.codec": os.environ.get(
                 "I3S_PARQUET_CODEC", "uncompressed"
             ),
+            # >0 enables sortless dynamic-partition fanout writes (pair
+            # with I3S_SPLIT_UPSERT_FANOUT=1); 0 = Spark default (sort)
+            "spark.sql.maxConcurrentOutputFileWriters": os.environ.get(
+                "I3S_MAX_WRITERS", "0"
+            ),
         },
     )
     events = spark.read.parquet(events_path)
@@ -126,12 +131,6 @@ def main() -> int:
     while time.perf_counter() - t_start < warm_s:
         one_replay(spark, events, work, cores, n_base, num_batches, f"warm{w}")
         w += 1
-    times = [
-        one_replay(spark, events, work, cores, n_base, num_batches, f"r{i}")
-        for i in range(reps)
-    ]
-    best = min(times)
-
     # parallel-ceiling jobs measured in the SAME JVM and host window as the
     # replay they normalize (see tools/ceiling_bench.py for the rationale):
     # identical scan + validation expressions + write volume, with zero
@@ -146,8 +145,18 @@ def main() -> int:
     #     bandwidth barely scales (memcpy envelope ~1.2x 8->32), which no
     #     engine can avoid paying while still merging by key; a real
     #     N->4N executor scale-out multiplies exchange bandwidth by ~4.
+    #
+    # Interleaving (round-3 protocol): replay and the two ceilings are
+    # sampled ALTERNATELY, cycle by cycle, so the min of each series is
+    # drawn from the same set of host windows — a throttle episode that
+    # hits one series hits its neighbors in the same cycle too, instead of
+    # poisoning one series' entire sample.
+    do_ceiling = os.environ.get("I3S_CEILING", "1") == "1"
     ceiling = ceiling_shuffle = None
-    if os.environ.get("I3S_CEILING", "1") == "1":
+    times: list[float] = []
+    ceil_times: list[float] = []
+    shuf_times: list[float] = []
+    if do_ceiling:
         import shutil as _sh
         import time as _tm
 
@@ -166,16 +175,21 @@ def main() -> int:
             return _tm.perf_counter() - t0
 
         _ceil_once(base_plan)  # warmup
-        ceiling = round(min(_ceil_once(base_plan), _ceil_once(base_plan)), 3)
-        ceiling_shuffle = round(min(_ceil_once(shuf_plan), _ceil_once(shuf_plan)), 3)
+        for i in range(max(reps, 2)):
+            times.append(
+                one_replay(spark, events, work, cores, n_base, num_batches, f"r{i}")
+            )
+            ceil_times.append(_ceil_once(base_plan))
+            shuf_times.append(_ceil_once(shuf_plan))
         _sh.rmtree(out, ignore_errors=True)
-        # one more replay AFTER the ceiling samples: if the host allowance
-        # is still ramping, the late sample catches it, and min() keeps
-        # replay and ceiling sampled from interleaved windows
-        times.append(
-            one_replay(spark, events, work, cores, n_base, num_batches, "rlate")
-        )
-        best = min(times)
+        ceiling = round(min(ceil_times), 3)
+        ceiling_shuffle = round(min(shuf_times), 3)
+    else:
+        times = [
+            one_replay(spark, events, work, cores, n_base, num_batches, f"r{i}")
+            for i in range(reps)
+        ]
+    best = min(times)
 
     print(json.dumps({
         "cores": cores,
@@ -185,6 +199,8 @@ def main() -> int:
         "reps": [round(t, 3) for t in times],
         "ceiling_seconds": ceiling,
         "ceiling_shuffle_seconds": ceiling_shuffle,
+        "ceiling_reps": [round(t, 3) for t in ceil_times],
+        "ceiling_shuffle_reps": [round(t, 3) for t in shuf_times],
         "ballast": bool(ballast),
         "merge_mode": os.environ.get("I3S_MERGE_MODE", "cow"),
     }))
