@@ -1208,6 +1208,194 @@ GROUP BY ALL
 SQL_string_normalize_kernels = _sql_string_normalize_kernels()
 
 
+# --------------------------------------- training-pipeline operators (r3)
+PACK_MAX_LEN = 512
+
+
+def q_token_packing(spark, sf):
+    """Training-sequence packing (operators/packing.py): docs ordered by
+    doc_id are laid head-to-tail and cut into 512-token packs via a
+    DISTRIBUTED two-level prefix sum (range partitions -> local window
+    prefix + driver-summed partition offsets) — no single-partition global
+    window. Output: per-pack doc count and token total."""
+    from ingestion3_spark.operators.packing import pack_sequences
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tok", PACK_MAX_LEN)
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tok")
+    )
+
+
+SQL_token_packing = rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t
+)
+SELECT CAST(excl // {PACK_MAX_LEN} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, SUM(n_tok) AS pack_tok
+FROM c GROUP BY 1
+"""
+
+
+def q_dup_clusters(spark, sf):
+    """Near-dup CLUSTERS: connected components (operators/components.py,
+    iterative min-label propagation over narrow joins) on the Jaccard>=0.5
+    candidate-pair graph; cluster_id = component min doc_id. The DuckDB
+    oracle recomputes components with a recursive transitive-closure CTE —
+    an independent algorithm."""
+    from ingestion3_spark.operators.components import connected_components
+
+    d = _docs_spread(spark, sf)
+    pairs = dedupe.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+SQL_dup_clusters = None  # assigned below (needs SQL_doc_jaccard_pairs)
+
+
+def q_doc_sample_stratified(spark, sf):
+    """Deterministic per-stratum downsampling (functions/sampling.py):
+    keep iff pmod(portable_hash64(doc_id), 1000) < rate[lang] — pure
+    projection, reproducible across runs/engines/cluster sizes (vs
+    sampleBy's partition-RNG draw)."""
+    from ingestion3_spark.functions.sampling import stratified_sample
+
+    d = load(spark, sf, "documents").select("doc_id", "lang", "source")
+    out = stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 500, "de": 300, "fr": 300}, default_per_mille=100,
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+SQL_doc_sample_stratified = """
+WITH h AS (
+  SELECT doc_id, lang,
+    CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) >= 9223372036854775808
+         THEN md5_number_upper(CAST(doc_id AS VARCHAR))::HUGEINT - 18446744073709551616
+         ELSE md5_number_upper(CAST(doc_id AS VARCHAR))::HUGEINT END AS hs
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS sum_ids
+FROM h
+WHERE ((hs % 1000) + 1000) % 1000 <
+      CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300
+                WHEN 'fr' THEN 300 ELSE 100 END
+GROUP BY 1
+"""
+
+
+def q_doc_length_quantiles(spark, sf):
+    """Exact per-language length quantiles (quality-scoring support stat):
+    Spark ``percentile`` (exact, linear interpolation) == DuckDB
+    ``quantile_cont``."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.percentile("n_chars", 0.25).alias("q25"),
+        F.percentile("n_chars", 0.5).alias("q50"),
+        F.percentile("n_chars", 0.75).alias("q75"),
+        F.percentile("n_chars", 0.9).alias("q90"),
+    )
+
+
+SQL_doc_length_quantiles = """
+SELECT lang, COUNT(*) AS n,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.50) AS q50,
+       quantile_cont(n_chars, 0.75) AS q75,
+       quantile_cont(n_chars, 0.90) AS q90
+FROM documents GROUP BY 1
+"""
+
+
+# J6 eligibility table: (source, lang) -> flags, the WikiMapper/
+# InstitutionsLoader 2-key lookup shape (wiki/WikiMapper.scala:85-152)
+WIKI_ELIG = {
+    ("src0", "en"): {"media_ok": "yes", "tier": "gold"},
+    ("src1", "en"): {"media_ok": "yes", "tier": "silver"},
+    ("src2", "de"): {"media_ok": "no", "tier": "bronze"},
+    ("src3", "fr"): {"media_ok": "yes", "tier": "silver"},
+    ("src4", "en"): {"media_ok": "no", "tier": "gold"},
+}
+
+
+def q_wiki_eligibility(spark, sf):
+    """J6 two-key eligibility join (functions/enrich.py:eligibility_join):
+    (source, lang) probed against a broadcast institutions table; rows
+    with no entry are ineligible (null flags)."""
+    from ingestion3_spark.functions.enrich import eligibility_join
+
+    d = load(spark, sf, "documents").select("doc_id", "source", "lang")
+    out = eligibility_join(d, ("source", "lang"), WIKI_ELIG, ("media_ok", "tier"))
+    return out.groupBy("media_ok", "tier").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+    )
+
+
+def _sql_wiki_eligibility() -> str:
+    rows = ", ".join(
+        f"('{k[0]}', '{k[1]}', '{v['media_ok']}', '{v['tier']}')"
+        for k, v in sorted(WIKI_ELIG.items())
+    )
+    return f"""
+WITH elig(src, lng, media_ok, tier) AS (VALUES {rows})
+SELECT e.media_ok, e.tier, COUNT(*) AS n_docs,
+       COUNT(CASE WHEN d.lang = 'en' THEN 1 END) AS n_en
+FROM documents d
+LEFT JOIN elig e ON d.source = e.src AND d.lang = e.lng
+GROUP BY 1, 2
+"""
+
+
+SQL_wiki_eligibility = _sql_wiki_eligibility()
+
+
+def q_avro_roundtrip(spark, sf):
+    """S1+S2 under the driver gate: events projected, written as Avro
+    container files (sources/io.py — spark-avro when present, else the
+    distributed pure-Python codec sources/avro_codec.py), read back
+    distributed, and aggregated; the oracle aggregates the original
+    parquet directly, so any encode/decode corruption breaks the hash."""
+    import uuid as _uuid
+
+    from ingestion3_spark.sources.io import read_avro, write_avro
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        fixed("value", 100).alias("value_c"),
+    )
+    path = f"/tmp/i3s_avro_gate_{_uuid.uuid4().hex[:10]}"
+    write_avro(ev, path)
+    back = read_avro(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum("value_c").alias("sum_value_c"),
+    )
+
+
+SQL_avro_roundtrip = """
+SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY 1
+"""
+
+
 # ----------------------------------------------- streaming driver entries
 def _event_stream(spark, sf):
     """events.parquet as a bounded Structured Streaming source (availableNow
@@ -1338,7 +1526,31 @@ QUERIES: dict[str, callable] = {
     "string_normalize_kernels": q_string_normalize_kernels,
     "streaming_dedup_state": q_streaming_dedup_state,
     "streaming_window_counts": q_streaming_window_counts,
+    "token_packing": q_token_packing,
+    "dup_clusters": q_dup_clusters,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "wiki_eligibility": q_wiki_eligibility,
+    "avro_roundtrip": q_avro_roundtrip,
 }
+
+# dup_clusters oracle: an INDEPENDENT component algorithm (recursive
+# transitive closure) over the same candidate-pair SQL the jaccard gate
+# uses
+SQL_dup_clusters = f"""
+WITH RECURSIVE pairs AS ({SQL_doc_jaccard_pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+"""
 
 ORACLES: dict[str, str] = {
     name: g
