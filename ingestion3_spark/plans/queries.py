@@ -517,14 +517,20 @@ FROM s
 
 
 def q_doc_exact_dups(spark, sf):
+    # doc_ids emitted as a \x01-joined string: the driver's pandas
+    # canonicalizer cannot sort/hash raw array cells (the round-2
+    # string_normalize_kernels red) — the operator itself returns the array
     d = load(spark, sf, "documents")
-    return dedupe.exact_dup_groups(d).select("fp", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
+    return dedupe.exact_dup_groups(d).select(
+        "fp", "n_docs",
+        F.array_join(F.col("doc_ids").cast("array<string>"), "\x01").alias("doc_ids"),
+    )
 
 
 SQL_doc_exact_dups = r"""
 SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
        COUNT(*) AS n_docs,
-       list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+       array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), chr(1)) AS doc_ids
 FROM documents
 GROUP BY 1 HAVING COUNT(*) > 1
 """

@@ -59,6 +59,17 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # the DRIVER's pandas canonicalizer cannot sort/hash list cells
+            # (round-2 string_normalize_kernels red) — treat complex output
+            # columns as failures here even though norm_cell tolerates them
+            hostile = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.simpleString().startswith(("array", "map", "struct"))
+            ]
+            if hostile:
+                failures.append(name)
+                print(f"FAIL {name}: driver-hostile complex columns {hostile}")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
