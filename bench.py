@@ -290,20 +290,31 @@ def main() -> int:
         # every touched bucket of the large base. Same feed, same oracle.
         feed_sm = ensure_feed(WORK, MOR_EVENTS, MOR_BASE)
         quick = {"I3S_WARM_SECONDS": "20", "I3S_CEILING": "0"}
-        r_cow = run_replay(CPUS, feed_sm, n_base=MOR_BASE, env_extra=quick)
-        r_mor = run_replay(
-            CPUS, feed_sm, n_base=MOR_BASE,
-            env_extra={**quick, "I3S_MERGE_MODE": "mor"},
-        )
+        # interleave cow/mor samples (2 cycles) and take the per-mode min —
+        # this host's clock drifts 2-3x within minutes, so back-to-back
+        # single samples can invert the comparison (observed: a drift
+        # window made MOR look 3x slower than COW in one round)
+        cow_s, mor_s, events_sm = [], [], None
+        for _ in range(2):
+            r_cow = run_replay(CPUS, feed_sm, n_base=MOR_BASE, env_extra=quick)
+            r_mor = run_replay(
+                CPUS, feed_sm, n_base=MOR_BASE,
+                env_extra={**quick, "I3S_MERGE_MODE": "mor"},
+            )
+            cow_s.append(r_cow["seconds"])
+            mor_s.append(r_mor["seconds"])
+            events_sm = r_mor["events"]
         cdc["mor_small_delta"] = {
-            "events": r_mor["events"],
+            "events": events_sm,
             "base_docs": MOR_BASE,
             "cores": CPUS,
-            "seconds_cow": r_cow["seconds"],
-            "thr_cow": r_cow["events_per_sec"],
-            "seconds_mor": r_mor["seconds"],
-            "thr_mor": r_mor["events_per_sec"],
-            "mor_speedup_vs_cow": round(r_cow["seconds"] / r_mor["seconds"], 3),
+            "seconds_cow": min(cow_s),
+            "thr_cow": round(events_sm / min(cow_s), 1),
+            "seconds_mor": min(mor_s),
+            "thr_mor": round(events_sm / min(mor_s), 1),
+            "cow_reps": cow_s,
+            "mor_reps": mor_s,
+            "mor_speedup_vs_cow": round(min(cow_s) / min(mor_s), 3),
         }
 
     print(json.dumps({

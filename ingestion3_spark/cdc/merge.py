@@ -143,10 +143,17 @@ def merge_batch(
             return []
         if mor:
             # merge-on-read: append the deduped changes (upserts + delete
-            # tombstones) as delta files — O(delta) write, no base rewrite
+            # tombstones) as delta files — O(delta) write, no base rewrite.
+            # ``changes`` is feed-scan-partitioned (late materialization),
+            # so every task holds rows of EVERY bucket: the no-exchange
+            # fanout path (key_partitioned=True) makes the dynamic-
+            # partition writer sort the wide token payload in each task
+            # and spray tasks×buckets small files — measured 2-3x slower
+            # than paying the one co-locating exchange (same shape as the
+            # COW upsert path; knob kept for bucket-aligned callers).
             files = table.write_delta_files(
                 changes.select(*data_cols, "op", "seq", "part"),
-                key_partitioned=True,
+                key_partitioned=_os.environ.get("I3S_MOR_FANOUT", "0") == "1",
             )
             _t("delta_write")
             return files

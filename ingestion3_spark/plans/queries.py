@@ -1489,6 +1489,242 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _cdc_feed_from_events(spark, sf):
+    """Deterministic upsert/delete feed derived from the events table so a
+    full replay's final state is SQL-expressible: seq=event_id (globally
+    unique), doc_id keyed by user, 'error' events become deletes, payload
+    tokens encode (user_id%97, event_id%89) so the stored winner payload is
+    distinguishable per event."""
+    ev = load(spark, sf, "events")
+    is_del = F.col("event_type") == "error"
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("part"),
+        F.when(is_del, "delete").otherwise("insert").alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.when(is_del, F.lit(None).cast("array<int>")).otherwise(
+            F.array(
+                F.pmod(F.col("user_id"), F.lit(97)).cast("int"),
+                F.pmod(F.col("event_id"), F.lit(89)).cast("int"),
+            )
+        ).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int")).otherwise(F.lit(2)).alias("n_tok"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("event_type")).alias("source"),
+    )
+
+
+def q_mor_replay_state(spark, sf):
+    """Merge-on-read replay under the driver gate: the same derived feed
+    replayed in TWO micro-batches into a ``merge_mode="mor"`` LakeTable —
+    upserts/delete-markers land as O(delta) delta files (the 10^10-scale
+    design point; contrast the reference's full-rewrite merge,
+    ``NaraMergeUtil.scala:54-320``) and the read path reconciles layers
+    with one per-key max_by aggregate (``lakehouse/table.py`` _reconcile).
+    The aggregate over the reconciled state is checked against the pure-SQL
+    last-event-wins oracle, so delta-layer reconciliation, delete markers,
+    and cross-batch upsert precedence are all under the value hash."""
+    import uuid as _uuid
+
+    from ingestion3_spark.cdc.replay import ReplayEngine
+
+    base = f"/tmp/i3s_mor_gate_{_uuid.uuid4().hex[:10]}"
+    table = ReplayEngine.create_table(
+        spark, f"{base}/table", num_buckets=8, merge_mode="mor"
+    )
+    eng = ReplayEngine(spark, table, error_dir=f"{base}/err")
+    eng.replay(_cdc_feed_from_events(spark, sf), num_batches=2)
+    return table.read().groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_ntok"),
+        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_tok0"),
+        F.sum(F.element_at("tokens", 2).cast("bigint")).alias("sum_tok1"),
+    )
+
+
+SQL_mor_replay_state = """
+WITH feed AS (
+  SELECT event_id AS seq,
+         'u' || CAST(user_id AS VARCHAR) AS doc_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source,
+         user_id % 97 AS tok0,
+         event_id % 89 AS tok1
+  FROM events
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM feed
+)
+SELECT source, COUNT(*) AS n_docs,
+       2 * COUNT(*) AS sum_ntok,
+       SUM(tok0) AS sum_tok0,
+       SUM(tok1) AS sum_tok1
+FROM w WHERE rn = 1 AND op <> 'delete'
+GROUP BY 1
+"""
+
+
+def q_schema_evolution_replay(spark, sf):
+    """Schema evolution mid-replay under the driver gate (the north rule's
+    add/rename/widen metadata transactions — reference analog: the warn-only
+    ``harvesters/Harvester.scala`` validateSchema, upgraded to Iceberg-style
+    versioned-schema transactions in ``lakehouse/table.py:572-601``).
+
+    A deterministic upsert/delete feed is derived from the events table
+    (seq=event_id unique, doc_id keyed by user, 'error' events become
+    deletes). Phase 1 replays seq<5000 into a fresh LakeTable; then three
+    metadata-only transactions run: add ``lang`` string, widen ``n_tok``
+    int->bigint, rename ``source``->``src``; phase 2 replays the rest with
+    the evolved feed shape. The final read maps old data files through the
+    field-id mapping (phase-1 winners surface lang=NULL, renamed src, and
+    widened n_tok), so the aggregate checks evolution + replay + upsert
+    semantics end-to-end against a pure-SQL last-event-wins oracle."""
+    import uuid as _uuid
+
+    from ingestion3_spark.cdc.replay import ReplayEngine
+
+    base = f"/tmp/i3s_evolve_gate_{_uuid.uuid4().hex[:10]}"
+    table = ReplayEngine.create_table(spark, f"{base}/table", num_buckets=8)
+    eng = ReplayEngine(spark, table, error_dir=f"{base}/err")
+
+    feed = _cdc_feed_from_events(spark, sf)
+    eng.replay(feed.filter(F.col("seq") < 5000), num_batches=1)
+
+    table.add_column("lang", "string")
+    table.widen_column("n_tok", "bigint")
+    table.rename_column("source", "src")
+
+    feed2 = (
+        feed.filter(F.col("seq") >= 5000)
+        .withColumnRenamed("source", "src")
+        .withColumn("n_tok", F.col("n_tok").cast("bigint"))
+        .withColumn(
+            "lang",
+            F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+                F.col("src")
+            ),
+        )
+    )
+    eng.replay(feed2, num_batches=1)
+
+    return table.read().groupBy("src", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_ntok"),
+        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_tok0"),
+        F.sum(F.element_at("tokens", 2).cast("bigint")).alias("sum_tok1"),
+    )
+
+
+SQL_schema_evolution_replay = """
+WITH feed AS (
+  SELECT event_id AS seq,
+         'u' || CAST(user_id AS VARCHAR) AS doc_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS src,
+         CASE WHEN event_type = 'error' OR event_id < 5000 THEN NULL
+              ELSE event_type END AS lang,
+         user_id % 97 AS tok0,
+         event_id % 89 AS tok1
+  FROM events
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM feed
+)
+SELECT src, lang, COUNT(*) AS n_docs,
+       2 * COUNT(*) AS sum_ntok,
+       SUM(tok0) AS sum_tok0,
+       SUM(tok1) AS sum_tok1
+FROM w WHERE rn = 1 AND op <> 'delete'
+GROUP BY 1, 2
+"""
+
+
+def q_csv_log_roundtrip(spark, sf):
+    """S6 (CSV log sink) + S5 (text scan) under the driver gate: the
+    per-event-type count/value report is written through
+    ``sources.io.write_csv_log`` (utils/Utils.scala:170-181 analog), its
+    line count audited via the raw text scan (S5, the reference's
+    post-write count), then read back with an explicit schema and
+    re-emitted — any quoting/typing corruption in the sink or scan breaks
+    the value hash against the straight-from-parquet oracle."""
+    import uuid as _uuid
+
+    from ingestion3_spark.sources.io import write_csv_log
+
+    report = (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(fixed("value", 100)).alias("sum_value_c"))
+    )
+    path = f"/tmp/i3s_csv_gate_{_uuid.uuid4().hex[:10]}"
+    write_csv_log(report, path)
+    n_lines = spark.read.text(path).count()  # header + data rows (S5)
+    back = spark.read.option("header", "true").schema(
+        "event_type string, n long, sum_value_c long"
+    ).csv(path)
+    return back.withColumn("n_csv_lines", F.lit(n_lines).cast("long"))
+
+
+SQL_csv_log_roundtrip = """
+WITH r AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, sum_value_c,
+       (SELECT COUNT(*) + 1 FROM r) AS n_csv_lines
+FROM r
+"""
+
+
+def q_snapshot_discovery(spark, sf):
+    """S12 (latest-snapshot discovery) under the driver gate. The reference
+    discovers "the latest complete activity" by scanning timestamp-named
+    directories (``utils/InputHelper.scala:29-69``); the engine's analog is
+    the LakeTable snapshot log with an atomic current pointer. Two commits
+    build two snapshots from the events table; the query then reads BOTH the
+    discovered latest snapshot and the time-travel view of the first one,
+    returning per-snapshot aggregates the oracle recomputes from parquet —
+    checking that commit isolation and snapshot reads are exact."""
+    import uuid as _uuid
+
+    from ingestion3_spark.lakehouse.table import Field, LakeTable
+
+    path = f"/tmp/i3s_snap_gate_{_uuid.uuid4().hex[:10]}"
+    table = LakeTable.create(
+        spark, path,
+        [Field(1, "doc_id", "string"), Field(2, "n", "bigint")],
+        num_buckets=4,
+    )
+    ev = load(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("user_id").alias("n"),
+        F.col("event_id").alias("_eid"),
+    )
+    half1 = ev.filter(F.col("_eid") < 5000).drop("_eid")
+    half2 = ev.filter(F.col("_eid") >= 5000).drop("_eid")
+    table.commit("append", add_files=table.write_files(half1))
+    first_snap = table.current_snapshot.snapshot_id
+    table.commit("append", add_files=table.write_files(half2))
+
+    def _agg(df, tag):
+        return (
+            df.agg(F.count("*").alias("n_rows"), F.sum("n").alias("sum_n"))
+            .select(F.lit(tag).alias("snap"), "n_rows", "sum_n")
+        )
+
+    return _agg(table.read(), "latest").unionByName(
+        _agg(table.read(snapshot_id=first_snap), "first")
+    )
+
+
+SQL_snapshot_discovery = """
+SELECT 'latest' AS snap, COUNT(*) AS n_rows, SUM(user_id) AS sum_n FROM events
+UNION ALL
+SELECT 'first' AS snap, COUNT(*) AS n_rows, SUM(user_id) AS sum_n
+FROM events WHERE event_id < 5000
+"""
+
+
 # ---------------------------------------------------------------- registry
 QUERIES: dict[str, callable] = {
     "cdc_last_event_wins": q_cdc_last_event_wins,
@@ -1532,6 +1768,10 @@ QUERIES: dict[str, callable] = {
     "string_normalize_kernels": q_string_normalize_kernels,
     "streaming_dedup_state": q_streaming_dedup_state,
     "streaming_window_counts": q_streaming_window_counts,
+    "schema_evolution_replay": q_schema_evolution_replay,
+    "csv_log_roundtrip": q_csv_log_roundtrip,
+    "snapshot_discovery": q_snapshot_discovery,
+    "mor_replay_state": q_mor_replay_state,
     "token_packing": q_token_packing,
     "dup_clusters": q_dup_clusters,
     "doc_sample_stratified": q_doc_sample_stratified,
