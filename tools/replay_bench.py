@@ -75,7 +75,17 @@ def _start_ballast(cores: int) -> list:
         return []
     os.sched_setaffinity(0, set(range(cores)))
     procs = []
-    spin = "while True:\n pass"
+    # self-expiring spin: if this process dies without killing its ballast
+    # (crash path), orphaned spinners must not poison every later
+    # measurement on the host — cap their lifetime well above any single
+    # bench level's runtime
+    deadline_s = int(os.environ.get("I3S_BALLAST_MAX_S", "2400"))
+    spin = (
+        "import time\n"
+        f"end=time.monotonic()+{deadline_s}\n"
+        "while time.monotonic()<end:\n"
+        " for _ in range(100000): pass\n"
+    )
     for c in range(cores, total):
         p = subprocess.Popen(
             ["taskset", "-c", str(c), sys.executable, "-c", spin],
@@ -94,6 +104,14 @@ def main() -> int:
     reps = int(sys.argv[6]) if len(sys.argv) > 6 else 3
 
     ballast = _start_ballast(cores)
+    try:
+        return _run(cores, events_path, n_base, num_batches, work, reps, ballast)
+    finally:
+        for p in ballast:
+            p.kill()
+
+
+def _run(cores, events_path, n_base, num_batches, work, reps, ballast) -> int:
     os.makedirs(os.path.join(work, "spark-local"), exist_ok=True)
     spark = get_spark(
         f"replay-bench-{cores}",
@@ -205,8 +223,6 @@ def main() -> int:
         "merge_mode": os.environ.get("I3S_MERGE_MODE", "cow"),
     }))
     spark.stop()
-    for p in ballast:
-        p.kill()
     return 0
 
 
