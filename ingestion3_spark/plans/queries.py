@@ -1563,6 +1563,34 @@ GROUP BY 1
 """
 
 
+def q_mor_compact_state(spark, sf):
+    """MOR compaction under the driver gate: the mor_replay_state scenario
+    plus a ``compact()`` (Iceberg rewrite_data_files analog) folding the
+    delta layers into base files before the final read — the aggregate must
+    be identical pre- and post-fold, so the rewrite's reconcile-read,
+    delete-marker elimination, and replace-commit are all value-hashed."""
+    import uuid as _uuid
+
+    from ingestion3_spark.cdc.replay import ReplayEngine
+
+    base = f"/tmp/i3s_morc_gate_{_uuid.uuid4().hex[:10]}"
+    table = ReplayEngine.create_table(
+        spark, f"{base}/table", num_buckets=8, merge_mode="mor"
+    )
+    eng = ReplayEngine(spark, table, error_dir=f"{base}/err")
+    eng.replay(_cdc_feed_from_events(spark, sf), num_batches=2)
+    table.compact(min_files=1)
+    return table.read().groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_ntok"),
+        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_tok0"),
+        F.sum(F.element_at("tokens", 2).cast("bigint")).alias("sum_tok1"),
+    )
+
+
+SQL_mor_compact_state = SQL_mor_replay_state
+
+
 def q_schema_evolution_replay(spark, sf):
     """Schema evolution mid-replay under the driver gate (the north rule's
     add/rename/widen metadata transactions — reference analog: the warn-only
@@ -1772,6 +1800,7 @@ QUERIES: dict[str, callable] = {
     "csv_log_roundtrip": q_csv_log_roundtrip,
     "snapshot_discovery": q_snapshot_discovery,
     "mor_replay_state": q_mor_replay_state,
+    "mor_compact_state": q_mor_compact_state,
     "token_packing": q_token_packing,
     "dup_clusters": q_dup_clusters,
     "doc_sample_stratified": q_doc_sample_stratified,
