@@ -153,7 +153,12 @@ def merge_batch(
             # COW upsert path; knob kept for bucket-aligned callers).
             files = table.write_delta_files(
                 changes.select(*data_cols, "op", "seq", "part"),
-                key_partitioned=_os.environ.get("I3S_MOR_FANOUT", "0") == "1",
+                key_partitioned=(
+                    _os.environ.get("I3S_MOR_FANOUT", "0") == "1"
+                    # one-exchange mode: the dedup exchange in replay.py is
+                    # already bucket-aligned, so skip the write's own
+                    or _os.environ.get("I3S_ONE_EXCHANGE", "1") == "1"
+                ),
             )
             _t("delta_write")
             return files
@@ -206,7 +211,13 @@ def merge_batch(
                 # the fanout writer's per-task dynamic-partition handling
                 # (sort fallback vs concurrent writers) is storage-profile
                 # dependent; pair with spark.sql.maxConcurrentOutputFileWriters
-                fan = _os.environ.get("I3S_SPLIT_UPSERT_FANOUT", "0") == "1"
+                fan = (
+                    _os.environ.get("I3S_SPLIT_UPSERT_FANOUT", "0") == "1"
+                    # one-exchange mode: changes arrive already bucket-
+                    # partitioned (replay.py dedup exchange), so the write
+                    # must NOT pay a second exchange
+                    or _os.environ.get("I3S_ONE_EXCHANGE", "1") == "1"
+                )
                 f_ups = wpool.submit(
                     lambda: table.write_files(upserts, key_partitioned=fan)
                 )

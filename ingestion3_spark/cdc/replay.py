@@ -356,7 +356,24 @@ class ReplayEngine:
                         [key, "seq", "part"],
                         "inner",
                     )
-                changes = delta.dropDuplicates([key])
+                if os.environ.get("I3S_ONE_EXCHANGE", "1") == "1":
+                    # one-exchange variant: repartition by the WRITE's own
+                    # bucket column first, then dedup on (bucket, key) —
+                    # hashpartitioning([__bucket]) is a subset of the
+                    # dedup's clustering keys, so Catalyst inserts NO
+                    # second exchange, and the bucketed write can take the
+                    # fanout path (~2 bucket values per task) instead of
+                    # its own full exchange of the wide payload. The
+                    # (bucket, key) groups equal the key groups because
+                    # bucket = f(key).
+                    changes = (
+                        delta.withColumn("__bucket", self.table.bucket_expr())
+                        .repartition(F.col("__bucket"))
+                        .dropDuplicates(["__bucket", key])
+                        .drop("__bucket")
+                    )
+                else:
+                    changes = delta.dropDuplicates([key])
 
                 result = merge_batch(
                     self.table,

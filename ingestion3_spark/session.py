@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the one-exchange upsert plan dedups wide (array-payload) rows in
+        # an ObjectHashAggregate AFTER the bucket exchange; the default
+        # 128-entry sort-based fallback would sort every partition's wide
+        # rows. Sized so groups-per-task x row-size fits executor memory:
+        # at ~0.5KB/row, 4M entries ~= 2GB/task ceiling — tune DOWN via
+        # I3S_AGG_FALLBACK on memory-tight executors (fallback is correct,
+        # just slower; measured plan still beats the two-exchange form)
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("I3S_AGG_FALLBACK", "4000000"),
+        )
         .config("spark.locality.wait", "0s")
         # small single-file inputs must still fan out: without a floor on
         # split count a 1 MB parquet scans as ONE task and a CPU-heavy
