@@ -221,7 +221,11 @@ def merge_batch(
                 f_ups = wpool.submit(
                     lambda: table.write_files(upserts, key_partitioned=fan)
                 )
-                files = f_base.result() + f_ups.result()
+                base_files = f_base.result()
+                _t("cow_split base done")
+                ups_files = f_ups.result()
+                _t("cow_split upserts done")
+                files = base_files + ups_files
             _t("cow_write_split")
             return files
         new_data = (

@@ -121,7 +121,6 @@ class ReplayEngine:
         self.check_compat(events)
         ckpt = self.table.checkpoint()
         pending = dd.drop_applied(events, ckpt)
-        validated = val.validate_events(pending)
         key = self.table.key_column
         # payload columns come from the TABLE's current schema (schema
         # evolution: added/renamed columns flow once the metadata
@@ -132,15 +131,20 @@ class ReplayEngine:
         # shared CollectMetrics node can hand Observation.get a malformed
         # row (observed as a toPyRow assertion failure on empty redelivery
         # batches), so the error-routing scan and the winner scan each get
-        # their own instance
+        # their own instance.
+        # Routing runs on the CHEAP error predicate (no per-row message
+        # structs on the 10^7-row scans); full messages are built only for
+        # the errored subset inside _route_errors — property-tested equal
+        # to has_error(validate_events(df)).
+        errp = val.error_predicate()
         metric_cols = (
             F.count(F.lit(1)).alias("events_in"),
-            F.sum(val.has_error().cast("long")).alias("n_err"),
+            F.sum(errp.cast("long")).alias("n_err"),
         )
         obs_err = Observation()
-        observed = validated.observe(obs_err, *metric_cols)
+        observed = pending.observe(obs_err, *metric_cols)
         obs_win = Observation()
-        clean = validated.observe(obs_win, *metric_cols).filter(~val.has_error())
+        clean = pending.observe(obs_win, *metric_cols).filter(~errp)
         winners = winners_all = None
         try:
             with futures.ThreadPoolExecutor(max_workers=3) as pool:
@@ -299,28 +303,29 @@ class ReplayEngine:
                     new_ckpt[p] = max(int(r["hi"]), new_ckpt.get(p, -1))
 
                 # late materialization: recover the winners' wide payload by
-                # broadcast-joining the keys back to the scan. The join key
-                # is a single xxhash64(key, seq, part) long; the build side
-                # also carries the winner's (seq, part), and the post-join
-                # equality filter makes the match EXACT: a colliding foreign
-                # row would need the winner's exact (seq, part) under a
-                # different key, which the feed's (part, seq)-uniqueness
-                # contract rules out. Surviving rows per key are therefore
-                # byte-identical duplicate re-deliveries of that key's
-                # winner (at-least-once feed), so a plain
-                # dropDuplicates([key]) — a |winners|-row First aggregation
-                # — finishes the dedup deterministically (measured 2.3x
-                # cheaper than a wide max_by, which runs in
+                # broadcast-joining the winner (seq, part) keys back to the
+                # scan — packed into one BIGINT (see pk2 below), the match
+                # is EXACT under the feed's (part, seq)-uniqueness contract.
+                # Surviving rows per key are byte-identical duplicate
+                # re-deliveries of that key's winner (at-least-once feed),
+                # so a plain dropDuplicates([key]) — a |winners|-row First
+                # aggregation — finishes the dedup deterministically
+                # (measured 2.3x cheaper than a wide max_by, which runs in
                 # ObjectHashAggregate). Beyond the cap: shuffle join on the
                 # narrow keys (at 10^10-event scale, pair with a bucketed
                 # base layout).
                 bcast = n_winners <= int(
                     os.environ.get("I3S_BROADCAST_WINNERS_MAX", "10000000")
                 )
-                hcol = F.xxhash64(F.col(key), F.col("seq"), F.col("part"))
-                # (seq, part) packed into one long halves the broadcast map
-                # row — the driver-side build of a multi-million-entry map
-                # is SERIAL time, so every byte in it costs scaling
+                # (seq, part) packed into one long IS the join key: the
+                # feed's (part, seq)-uniqueness contract (exact byte-
+                # identical redeliveries only) makes a single-long equi-join
+                # exact — rows matching a winner's packed (seq, part) are
+                # that winner's delivery or its redeliveries, nothing else.
+                # One 8-byte column per broadcast map entry (the driver-side
+                # build of a multi-million-entry map is SERIAL time, so
+                # every byte in it costs scaling), and the probe side is a
+                # LongHashedRelation — no per-row xxhash64, no post-filter.
                 # same per-row domain guard as packed_order: the packing is
                 # only injective while part < 2^16 and seq < 2^42
                 pk2 = (
@@ -336,22 +341,22 @@ class ReplayEngine:
                         F.lit(0),
                     )
                 )
+                # payload normalization (n_tok recompute, delete-nulling)
+                # WITHOUT message construction: every row surviving the
+                # exact winner join is clean by construction (winners are
+                # selected from clean rows and (part, seq) is unique), so
+                # the messages array would be dead weight on this scan
+                clean_norm = val.normalize_payload(clean, tuple(payload))
                 if bcast:
-                    wk = F.broadcast(
-                        winners.select(
-                            F.xxhash64(key, "seq", "part").alias("_h"),
-                            pk2.alias("_wpk"),
-                        )
-                    )
+                    wk = F.broadcast(winners.select(pk2.alias("_wpk")))
                     delta = (
-                        clean.select(key, "op", *payload, "seq", "part")
-                        .withColumn("_h", hcol)
-                        .join(wk, "_h", "inner")
-                        .filter(pk2 == F.col("_wpk"))
-                        .drop("_h", "_wpk")
+                        clean_norm.select(key, "op", *payload, "seq", "part")
+                        .withColumn("_wpk", pk2)
+                        .join(wk, "_wpk", "inner")
+                        .drop("_wpk")
                     )
                 else:
-                    delta = clean.select(key, "op", *payload, "seq", "part").join(
+                    delta = clean_norm.select(key, "op", *payload, "seq", "part").join(
                         winners.select(key, "seq", "part"),
                         [key, "seq", "part"],
                         "inner",
@@ -415,7 +420,7 @@ class ReplayEngine:
         err_by_part: dict[tuple, dict] = {}
         err_path = self._err_path()
         (
-            observed.filter(val.has_error())
+            val.validate_events(observed.filter(val.error_predicate()))
             .select(
                 F.lit(batch_id).cast("long").alias("batch_id"),
                 "part", "seq", "doc_id", "op", "messages",

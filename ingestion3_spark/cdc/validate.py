@@ -89,6 +89,26 @@ def validate_events(df: DataFrame, payload_cols: tuple[str, ...] | None = None) 
     messages = F.filter(F.array(*checks), lambda m: m.isNotNull()).cast(MESSAGE_SCHEMA)
 
     out = df.withColumn("messages", messages)
+    return normalize_payload(out, payload_cols)
+
+
+def normalize_payload(
+    df: DataFrame, payload_cols: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Payload normalization ONLY (no messages column): ``n_tok`` recomputed
+    from ``size(tokens)``, delete rows get null payload columns.
+
+    Identical mutations to :func:`validate_events` — used on hot scans
+    (winner selection's late-materialization join) where rows are already
+    known clean, so the per-row message-struct construction can be skipped
+    entirely (``test_replay_property.py`` pins the equivalence).
+    """
+    envelope = {"seq", "part", "op", "doc_id", "ts", "messages"}
+    if payload_cols is None:
+        payload_cols = tuple(c for c in df.columns if c not in envelope)
+    is_delete = F.col("op") == "delete"
+    true_ntok = F.size("tokens")
+    out = df
     ntok_type = dict(df.dtypes).get("n_tok", "int")
     for c in payload_cols:
         if c == "n_tok":
@@ -98,6 +118,24 @@ def validate_events(df: DataFrame, payload_cols: tuple[str, ...] | None = None) 
         else:
             out = out.withColumn(c, F.when(is_delete, F.lit(None)).otherwise(F.col(c)))
     return out
+
+
+def error_predicate():
+    """Cheap router predicate over RAW feed rows — no message structs.
+
+    True exactly when :func:`has_error` is true over
+    ``validate_events(df)``: the only error-level checks are ``unknown op``
+    and ``null tokens on non-delete`` (warn/info messages never route).
+    Hot 10^7-row scans (winner selection, late materialization, the
+    error-routing scan's clean majority) evaluate THIS instead of building
+    a per-row message array; full messages are constructed only for the
+    errored subset. Equivalence is property-tested
+    (tests/test_replay_property.py::test_error_predicate_matches_messages).
+    """
+    is_delete = F.col("op") == "delete"
+    return (~F.col("op").isin("insert", "update", "delete")) | (
+        (~is_delete) & F.col("tokens").isNull()
+    )
 
 
 def has_error(col: str = "messages"):

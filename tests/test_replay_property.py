@@ -81,3 +81,76 @@ def test_random_feed_matches_oracle(spark, tmp_path_factory, events, n_batches, 
     expected = replay_oracle(None, feed)
     actual = table_state([r.asDict() for r in table.read().collect()])
     assert not diff_states(expected, actual)
+
+
+def test_error_predicate_matches_messages(spark):
+    """error_predicate() (cheap, no message structs — the hot-scan router)
+    must agree with has_error() over validate_events() on every message
+    class: unknown op, null tokens on insert/update/delete, bad n_tok
+    (warn), payload-on-delete (info), and plain clean rows."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from ingestion3_spark.cdc import validate as val
+
+    rows = [
+        # (op, tokens, n_tok) — expected error?
+        ("insert", [1, 2], 2),        # clean
+        ("update", [1], 5),           # warn only (n_tok mismatch)
+        ("upsert", [1], 1),           # ERROR unknown op
+        ("frobnicate", None, None),   # ERROR unknown op (null payload too)
+        ("insert", None, None),       # ERROR null tokens on non-delete
+        ("update", None, 3),          # ERROR null tokens on non-delete
+        ("delete", None, None),       # clean delete
+        ("delete", [9, 9], 2),        # info only (payload on delete)
+    ]
+    feed = pa.table({
+        "seq": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "part": pa.array([0] * len(rows), pa.int32()),
+        "op": pa.array([r[0] for r in rows], pa.string()),
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))], pa.string()),
+        "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+        "n_tok": pa.array([r[2] for r in rows], pa.int32()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+    })
+    df = spark.createDataFrame(feed.to_pandas())
+    got = (
+        df.withColumn("cheap", val.error_predicate())
+        .select("seq", "cheap")
+        .join(
+            val.validate_events(df).select(
+                "seq", val.has_error().alias("full")
+            ),
+            "seq",
+        )
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        assert bool(r["cheap"]) == bool(r["full"]), r
+    expected_err = {3, 4, 5, 6}
+    assert {r["seq"] for r in got if r["cheap"]} == expected_err
+
+
+def test_normalize_payload_matches_validate_events(spark):
+    """normalize_payload() must apply exactly the payload mutations of
+    validate_events() (n_tok recompute, delete-nulling) — the upsert path
+    relies on this to skip message construction."""
+    import pyarrow as pa
+
+    from ingestion3_spark.cdc import validate as val
+
+    feed = pa.table({
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "part": pa.array([0, 0, 0, 0], pa.int32()),
+        "op": pa.array(["insert", "update", "delete", "delete"], pa.string()),
+        "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "tokens": pa.array([[1, 2], [3], [7], None], pa.list_(pa.int32())),
+        "n_tok": pa.array([9, 1, 1, None], pa.int32()),
+        "source": pa.array(["s", "s", "s", None], pa.string()),
+    })
+    df = spark.createDataFrame(feed.to_pandas())
+    cols = ["seq", "part", "op", "doc_id", "tokens", "n_tok", "source"]
+    light = val.normalize_payload(df).select(*cols).orderBy("seq").collect()
+    full = val.validate_events(df).select(*cols).orderBy("seq").collect()
+    assert [tuple(r) for r in light] == [tuple(r) for r in full]
