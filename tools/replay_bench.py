@@ -183,7 +183,14 @@ def _run(cores, events_path, n_base, num_batches, work, reps, ballast) -> int:
         from ingestion3_spark.cdc import validate as _val
 
         out = os.path.join(work, f"ceiling_{cores}")
-        base_plan = _val.validate_events(events).filter(~_val.has_error()).drop("messages")
+        # same per-row work as the engine's hot scans (cheap error
+        # predicate + payload normalization, NO message structs — the
+        # engine builds messages only for the errored subset, so a
+        # validate_events ceiling would overstate the ceiling's work and
+        # flatter the normalized efficiency)
+        base_plan = _val.normalize_payload(
+            events.filter(~_val.error_predicate())
+        )
         shuf_plan = base_plan.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
 
         def _ceil_once(plan) -> float:
