@@ -44,7 +44,12 @@ def one_replay(spark, events, work, cores, n_base, num_batches, tag):
             write_fixture(base_pq, make_corpus(n_base, seed=42, max_len=128))
         files = table.write_files(spark.read.parquet(base_pq))
         table.commit("append", add_files=files)
-    eng = ReplayEngine(spark, table, error_dir=err_dir)
+    eng = ReplayEngine(
+        spark, table, error_dir=err_dir,
+        # skew-evidence knob (tools/ab_replay.py): two-phase salted dedup
+        # vs the default single partial-agg (see BENCH.md skew section)
+        salted_dedup=os.environ.get("I3S_SALTED") == "1",
+    )
     t0 = time.perf_counter()
     eng.replay(events, num_batches=num_batches)
     dt = time.perf_counter() - t0
