@@ -35,7 +35,8 @@ def one_replay(spark, events, work, cores, n_base, num_batches, tag):
     shutil.rmtree(table_path, ignore_errors=True)
     shutil.rmtree(err_dir, ignore_errors=True)
     table = ReplayEngine.create_table(
-        spark, table_path, num_buckets=64,
+        spark, table_path,
+        num_buckets=int(os.environ.get("I3S_BUCKETS", "64")),
         merge_mode=os.environ.get("I3S_MERGE_MODE", "cow"),
     )
     if n_base:
