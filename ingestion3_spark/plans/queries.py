@@ -1754,6 +1754,109 @@ FROM events WHERE event_id < 5000
 
 
 # ---------------------------------------------------------------- registry
+def q_multimodal_features(spark, sf):
+    """Multimodal decode plumbing under the full correctness gate.
+
+    The reference's analog is the per-record payload parse (XML/JSON blob
+    column -> typed record, ``mappers/Mapper.scala:633-1010``); here the
+    blob is a ``binary`` media column and the parse is a codec decode
+    (``functions/multimodal.py``, Arrow-batched ``mapInPandas`` with
+    per-row error routing — container ships no media libraries, so the
+    decode is the documented deterministic fake).
+
+    Gate construction (exact, no float hazards): media bytes derive
+    deterministically from the ``documents`` table (ASCII-truncated text
+    encoded as UTF-8 — byte i == codepoint i, recomputable in SQL); the
+    real distributed extractor produces the 8 per-chunk float32 byte
+    means, and the query emits each chunk's BYTE SUM = round(mean *
+    chunk_len) — an integer <= 512*255 that float32 represents exactly, so
+    the DuckDB oracle's pure-integer SUM matches bit-for-bit. np.array_
+    split chunking (first L%8 chunks get the extra byte) is mirrored in
+    SQL. Two injected empty payloads exercise the per-row error route
+    (ok=false rows) under the same value hash.
+    """
+    from ingestion3_spark.functions import multimodal as MM
+
+    t = F.substring("text", 1, 512)
+    d = (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), t.alias("t"))
+        .filter(F.col("t").rlike("^[ -~]*$") & (F.length("t") >= 8))
+    )
+    media_meta = (
+        F.lit("image/png").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    media = d.select(
+        "doc_id", F.encode(F.col("t"), "UTF-8").alias("media"), *media_meta
+    ).unionByName(
+        spark.createDataFrame([("bad-0001",), ("bad-0002",)], "doc_id string")
+        .select("doc_id", F.encode(F.lit(""), "UTF-8").alias("media"), *media_meta)
+    )
+    feats = MM.extract_features(media)
+    lens = d.select("doc_id", F.length("t").alias("L"))
+    ok_rows = (
+        feats.filter(F.col("ok"))
+        .join(lens, "doc_id")
+        .select("doc_id", "L", F.posexplode("feature").alias("chunk_idx", "val"))
+        .withColumn(
+            "chunk_len",
+            (F.col("L") / 8).cast("long")
+            + F.when(F.col("chunk_idx") < F.col("L") % 8, 1).otherwise(0),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.round(F.col("val") * F.col("chunk_len")).cast("long").alias("chunk_sum"),
+            F.lit(True).alias("ok"),
+        )
+    )
+    err_rows = feats.filter(~F.col("ok")).select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("long").alias("chunk_sum"),
+        F.lit(False).alias("ok"),
+    )
+    return ok_rows.unionByName(err_rows)
+
+
+SQL_multimodal_features = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, substring(text, 1, 512) AS t
+  FROM documents
+  WHERE regexp_matches(substring(text, 1, 512), '^[ -~]*$')
+    AND length(substring(text, 1, 512)) >= 8
+),
+b0 AS (
+  SELECT doc_id, length(t) AS L, t,
+         unnest(range(1, length(t) + 1)) AS p
+  FROM d
+),
+b AS (
+  SELECT doc_id, L, p,
+         ascii(substring(t, CAST(p AS INT), 1)) AS byte
+  FROM b0
+),
+ch AS (
+  SELECT doc_id,
+         CAST(CASE WHEN (p - 1) < (L % 8) * ((L + 7) // 8)
+              THEN (p - 1) // ((L + 7) // 8)
+              ELSE (L % 8) + ((p - 1) - (L % 8) * ((L + 7) // 8)) // (L // 8)
+         END AS INT) AS chunk_idx,
+         byte
+  FROM b
+)
+SELECT doc_id, chunk_idx, CAST(SUM(byte) AS BIGINT) AS chunk_sum, true AS ok
+FROM ch GROUP BY doc_id, chunk_idx
+UNION ALL
+SELECT doc_id, CAST(-1 AS INT) AS chunk_idx, CAST(NULL AS BIGINT) AS chunk_sum,
+       false AS ok
+FROM (VALUES ('bad-0001'), ('bad-0002')) v(doc_id)
+"""
+
+
 QUERIES: dict[str, callable] = {
     "cdc_last_event_wins": q_cdc_last_event_wins,
     "cdc_merge_classify": q_cdc_merge_classify,
@@ -1807,6 +1910,7 @@ QUERIES: dict[str, callable] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "wiki_eligibility": q_wiki_eligibility,
     "avro_roundtrip": q_avro_roundtrip,
+    "multimodal_features": q_multimodal_features,
 }
 
 # dup_clusters oracle: an INDEPENDENT component algorithm (recursive

@@ -27,6 +27,7 @@ ENTRIES = [
     "snapshot_discovery",
     "csv_log_roundtrip",
     "doc_exact_dups",
+    "multimodal_features",
 ]
 
 
