@@ -66,6 +66,7 @@ HEADLINE = [
     "vocab_enrich",
     "xml_extract",
     "string_normalize_kernels",
+    "multimodal_features",
 ]
 
 

@@ -58,11 +58,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan plans as ONE task and expression/UDF-heavy queries serialize on
     1 of N cores (measured: the minhash signature pass alone dropped
     28.6s -> ~1s at 32 cores). Fan out only when the file is non-trivial
-    (>=1MB) AND the scan yields fewer splits than the session's
-    parallelism; production-scale inputs (many row groups / files) take
-    the normal no-exchange path. Gate queries are order-insensitive by
-    construction (they hash-match a DuckDB oracle with its own scan
-    order), so the repartition cannot change any result."""
+    (>=32KB — tiny dimension tables skip the exchange) AND the scan
+    yields fewer splits than the session's parallelism; production-scale
+    inputs (many row groups / files) take the normal no-exchange path.
+    Gate queries are order-insensitive by construction (they hash-match
+    a DuckDB oracle with its own scan order), so the repartition cannot
+    change any result."""
     import os as _os
 
     path = f"{sf_dir}/{name}.parquet"
@@ -73,7 +74,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             size = _os.path.getsize(path)
         except OSError:
             size = 0
-        if size >= (1 << 20) and df.rdd.getNumPartitions() < par:
+        if size >= (32 << 10) and df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     return df
 

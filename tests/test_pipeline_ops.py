@@ -90,3 +90,17 @@ def test_stratified_sample_deterministic_and_rated(spark):
     mm = df.select(F.min(hash_mille(F.col("doc_id"))).alias("lo"),
                    F.max(hash_mille(F.col("doc_id"))).alias("hi")).collect()[0]
     assert 0 <= mm["lo"] and mm["hi"] < 1000
+
+
+def test_load_fans_out_underplit_scans(spark):
+    """Single-row-group fixtures must not serialize queries on one task:
+    load() repartitions non-trivial under-split inputs to session
+    parallelism and leaves tiny dimension tables alone."""
+    from ingestion3_spark.plans.queries import load
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    assert docs.rdd.getNumPartitions() >= min(par, 8)
+    # tiny dims (<1MB) skip the exchange entirely
+    region = load(spark, "/root/testdata/sf0.01", "region")
+    assert region.rdd.getNumPartitions() <= 2
