@@ -48,14 +48,12 @@ HEADLINE = [
     "cdc_merge_classify",
     "cdc_sessionize",
     "q1_pricing_summary",
-    "q3_revenue_by_order",
     "q5_nation_revenue",
     "window_running_total",
     "topk_orders_per_cust",
     "props_k_distribution",
     "doc_stats",
     "doc_fingerprint",
-    "lang_id",
     "doc_jaccard_pairs",
     "doc_minhash_pairs",
     "doc_simhash_pairs",

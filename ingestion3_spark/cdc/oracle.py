@@ -22,6 +22,7 @@ def replay_oracle(
     """Return {doc_id: (tokens, n_tok, source)} after replaying events.
 
     Validation contract (mirrors engine + FIXTURES.md §4):
+    - unknown or NULL op              -> error, event skipped;
     - insert/update with null tokens  -> error, event skipped;
     - n_tok != len(tokens)            -> warn, n_tok recomputed;
     - delete of unknown doc_id        -> 'invalid delete', no-op;
@@ -43,6 +44,10 @@ def replay_oracle(
         if key in seen:
             continue
         seen.add(key)
+        if r["op"] not in ("insert", "update", "delete"):
+            continue  # unknown/NULL op -> error-routed (validate.py
+            # error_predicate is NULL-definite; the row must land in the
+            # error channel, never silently vanish or merge)
         if r["op"] == "delete":
             state.pop(r["doc_id"], None)  # unknown id -> invalid delete no-op
         else:

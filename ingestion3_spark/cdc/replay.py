@@ -348,13 +348,40 @@ class ReplayEngine:
                 # the messages array would be dead weight on this scan
                 clean_norm = val.normalize_payload(clean, tuple(payload))
                 if bcast:
-                    wk = F.broadcast(winners.select(pk2.alias("_wpk")))
+                    # the packed-long match is exact ONLY under the feed's
+                    # (part, seq)-uniqueness contract; a violating feed
+                    # would attach a foreign key's payload to the winner.
+                    # I3S_DEBUG=1 re-verifies the key per joined row (one
+                    # extra broadcast string column + an assert_true) —
+                    # off on the hot path, on in the property tests.
+                    debug = os.environ.get("I3S_DEBUG", "0") == "1"
+                    wcols = [pk2.alias("_wpk")] + (
+                        [F.col(key).alias("_wkey")] if debug else []
+                    )
+                    wk = F.broadcast(winners.select(*wcols))
                     delta = (
                         clean_norm.select(key, "op", *payload, "seq", "part")
                         .withColumn("_wpk", pk2)
                         .join(wk, "_wpk", "inner")
                         .drop("_wpk")
                     )
+                    if debug:
+                        # folded into a KEPT column (same trick as pk2's
+                        # domain guard) — a dropped assert column would be
+                        # pruned unevaluated by Catalyst
+                        delta = delta.withColumn(
+                            "seq",
+                            F.col("seq") + F.coalesce(
+                                F.assert_true(
+                                    F.col(key) == F.col("_wkey"),
+                                    F.lit("packed (seq,part) collision: "
+                                          "joined payload key != winner key "
+                                          "— feed violates (part, seq) "
+                                          "uniqueness"),
+                                ).cast("long"),
+                                F.lit(0),
+                            ),
+                        ).drop("_wkey")
                 else:
                     delta = clean_norm.select(key, "op", *payload, "seq", "part").join(
                         winners.select(key, "seq", "part"),

@@ -64,10 +64,13 @@ def validate_events(df: DataFrame, payload_cols: tuple[str, ...] | None = None) 
     payload_on_delete = is_delete & payload_present
 
     checks = [
+        # NULL-definite: op IS NULL must classify as unknown-op error, not
+        # three-valued-NULL (which F.when treats as false and filter()
+        # silently drops on BOTH branches — the round-3 advisory)
         F.when(
-            ~F.col("op").isin("insert", "update", "delete"),
+            F.col("op").isNull() | ~F.col("op").isin("insert", "update", "delete"),
             _msg("unknown op", "error", "doc_id", "op",
-                 F.col("op"), F.lit("")),
+                 F.coalesce(F.col("op"), F.lit("<null>")), F.lit("")),
         ),
         F.when(
             (~is_delete) & null_payload,
@@ -131,10 +134,18 @@ def error_predicate():
     a per-row message array; full messages are constructed only for the
     errored subset. Equivalence is property-tested
     (tests/test_replay_property.py::test_error_predicate_matches_messages).
+
+    NULL-definite by construction: a NULL ``op`` makes the first disjunct
+    TRUE outright (TRUE OR NULL = TRUE), and with ``op`` non-null every
+    sub-expression is two-valued — so ``filter(pred)`` / ``filter(~pred)``
+    partition the feed exactly; no row can vanish from both branches (the
+    round-3 advisory's silent-drop divergence).
     """
-    is_delete = F.col("op") == "delete"
-    return (~F.col("op").isin("insert", "update", "delete")) | (
-        (~is_delete) & F.col("tokens").isNull()
+    unknown_op = F.col("op").isNull() | ~F.col("op").isin(
+        "insert", "update", "delete"
+    )
+    return unknown_op | (
+        (F.col("op") != "delete") & F.col("tokens").isNull()
     )
 
 

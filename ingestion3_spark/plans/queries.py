@@ -4,9 +4,9 @@ Each entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
 (DuckDB) over the same parquet tables. Column names/aliases are identical on
 both sides (the driver hashes values after sorting columns by name).
 
-Entries marked NO_ORACLE are genuinely non-SQL-expressible here (seeded
-xxhash64-based sketches whose hash function DuckDB does not share); the
-driver records a rows-only check for them.
+Every entry has an oracle (50/50); the sketch queries (minhash/simhash/
+ANN) run md5-derived gate configs so DuckDB can recompute the same hashes,
+with parity tests tying the gate config to the xxhash64 production path.
 
 Operator coverage map (reference op -> entry):
   A6/W1  last-event-wins dedup        cdc_last_event_wins
@@ -18,8 +18,7 @@ Operator coverage map (reference op -> entry):
   P4/J2  semi-join                    cdc_error_users
   P4/J1  anti-join                    cdc_signup_no_purchase
   A1-A7  TPC-H Q1 aggregate           q1_pricing_summary
-  J*     3-way join + agg             q3_revenue_by_order
-  J*     5-way join                   q5_nation_revenue
+  J*     5-way join + agg             q5_nation_revenue
   J4-J6  broadcast dim join           seg_broadcast_agg
   A11    rollup                       rollup_lineitem
   W1     running total                window_running_total
@@ -27,14 +26,14 @@ Operator coverage map (reference op -> entry):
   U1/U2  intersect                    nations_both_sides
   E1/E2  json extract + agg           props_k_distribution
   --     pivot                        orders_pivot
-  §2.8   text kernels                 doc_stats, doc_fingerprint, lang_id
+  §2.8   text kernels + lang-id       doc_stats, doc_fingerprint
   dedup  exact dup groups             doc_exact_dups
   dedup  n-gram jaccard               doc_jaccard_pairs
-  dedup  minhash LSH                  doc_minhash_pairs (NO_ORACLE)
-  dedup  simhash                      doc_simhash_pairs (NO_ORACLE)
+  dedup  minhash LSH                  doc_minhash_pairs
+  dedup  simhash                      doc_simhash_pairs
   ANN    brute-force cosine top-k     knn_topk
-  ANN    LSH bucketed top-k           ann_lsh_topk (NO_ORACLE)
-  ANN    IVF coarse-quantized top-k   ann_ivf_topk (NO_ORACLE)
+  ANN    LSH bucketed top-k           ann_lsh_topk
+  ANN    IVF coarse-quantized top-k   ann_ivf_topk
   dedup  embedding-cosine near-dup    doc_embed_dups
   S4     JSON-L record rendering      jsonl_render
   E1/A3  validate + message report    doc_validate_report
@@ -50,6 +49,15 @@ from ingestion3_spark.functions import dedupe, similarity, text
 from ingestion3_spark.plans import sketch_oracles
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-string -> bytes ('128m', '134217728b', '1g', '512k')."""
+    v = str(v).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+    if v and v[-1] in mult:
+        return int(float(v[:-1])) * mult[v[-1]]
+    return int(v)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read an input table, fanning out under-split scans.
 
@@ -63,18 +71,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     inputs (many row groups / files) take the normal no-exchange path.
     Gate queries are order-insensitive by construction (they hash-match
     a DuckDB oracle with its own scan order), so the repartition cannot
-    change any result."""
+    change any result. NEW gate queries must stay order-insensitive —
+    no first()/limit-without-sort/monotonically_increasing_id over a
+    fanned-out scan (tests/test_registry_pin.py pins the registry).
+
+    The split estimate is pure file metadata (bytes vs
+    ``spark.sql.files.maxPartitionBytes``) — the earlier
+    ``df.rdd.getNumPartitions()`` probe forced a DataFrame->RDD plan
+    conversion on every load and is unavailable under Spark Connect
+    (round-3 advisory)."""
     import os as _os
 
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if _os.environ.get("I3S_FANOUT_SCAN", "1") == "1":
         par = spark.sparkContext.defaultParallelism
-        try:
-            size = _os.path.getsize(path)
-        except OSError:
-            size = 0
-        if size >= (32 << 10) and df.rdd.getNumPartitions() < par:
+        sizes = []
+        if _os.path.isdir(path):
+            for root, _dirs, files in _os.walk(path):
+                sizes += [
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in files if f.endswith(".parquet")
+                ]
+        else:
+            try:
+                sizes = [_os.path.getsize(path)]
+            except OSError:
+                sizes = []
+        total = sum(sizes)
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        est_splits = sum(max(1, -(-s // max_pb)) for s in sizes)
+        if total >= (32 << 10) and est_splits < par:
             df = df.repartition(par)
     return df
 
@@ -308,27 +337,6 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_q3_revenue_by_order(spark, sf):
-    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey")
-        .agg((F.sum(fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)) / 10000.0).alias("revenue"))
-    )
-
-
-SQL_q3_revenue_by_order = """
-SELECT l_orderkey, SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY l_orderkey
-"""
-
-
 def q_q5_nation_revenue(spark, sf):
     r = load(spark, sf, "region")
     n = load(spark, sf, "nation")
@@ -477,24 +485,19 @@ FROM orders GROUP BY o_orderpriority
 
 # ----------------------------------------------------------- text pipeline
 def q_doc_stats(spark, sf):
+    """Per-doc text analysis in one gated projection: word/token/stopword
+    counters (quality scoring) plus the n-gram-heuristic language id
+    (``functions/text.py`` predict_lang) — the former standalone ``lang_id``
+    gate entry is folded in here (round-4) to fit the driver's 50-entry
+    cap; both stay value-hashed against independent DuckDB recomputation."""
     d = load(spark, sf, "documents")
     return d.select(
         "doc_id",
         text.word_count("text").alias("n_words"),
         text.token_count("text").alias("n_tokens"),
         text.stopword_hits("text").alias("en_stopwords"),
+        text.predict_lang("text").alias("pred_lang"),
     )
-
-
-SQL_doc_stats = rf"""
-SELECT doc_id,
-  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
-  len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS n_tokens,
-  len(list_filter(
-        list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-        x -> list_contains({text.STOPWORDS['en']}, lower(x)))) AS en_stopwords
-FROM documents
-"""
 
 
 def q_doc_fingerprint(spark, sf):
@@ -508,11 +511,6 @@ FROM documents
 """
 
 
-def q_lang_id(spark, sf):
-    d = load(spark, sf, "documents")
-    return d.select("doc_id", text.predict_lang("text").alias("pred_lang"))
-
-
 def _sql_lang_score(lang: str) -> str:
     sw = text.STOPWORDS[lang]
     return (
@@ -521,17 +519,22 @@ def _sql_lang_score(lang: str) -> str:
     )
 
 
-SQL_lang_id = rf"""
+SQL_doc_stats = rf"""
 WITH w AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
   FROM documents
 ), s AS (
-  SELECT doc_id,
+  SELECT doc_id, text, ws,
     {_sql_lang_score('en')} AS s_en, {_sql_lang_score('de')} AS s_de,
     {_sql_lang_score('fr')} AS s_fr, {_sql_lang_score('es')} AS s_es
   FROM w
 )
 SELECT doc_id,
+  len(ws) AS n_words,
+  len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS n_tokens,
+  len(list_filter(ws,
+        x -> list_contains({text.STOPWORDS['en']}, lower(x)))) AS en_stopwords,
   CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) < 0.03 THEN 'und'
        WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
        WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
@@ -1271,7 +1274,7 @@ WITH t AS (
   FROM t
 )
 SELECT CAST(excl // {PACK_MAX_LEN} AS BIGINT) AS pack_id,
-       COUNT(*) AS n_docs, SUM(n_tok) AS pack_tok
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tok
 FROM c GROUP BY 1
 """
 
@@ -1320,7 +1323,7 @@ WITH h AS (
          ELSE md5_number_upper(CAST(doc_id AS VARCHAR))::HUGEINT END AS hs
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS sum_ids
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM h
 WHERE ((hs % 1000) + 1000) % 1000 <
       CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300
@@ -1421,8 +1424,8 @@ def q_avro_roundtrip(spark, sf):
 
 
 SQL_avro_roundtrip = """
-SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user,
-       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c
+SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1
 """
 
@@ -1539,15 +1542,21 @@ def _cdc_feed_from_events(spark, sf):
 
 
 def q_mor_replay_state(spark, sf):
-    """Merge-on-read replay under the driver gate: the same derived feed
-    replayed in TWO micro-batches into a ``merge_mode="mor"`` LakeTable —
-    upserts/delete-markers land as O(delta) delta files (the 10^10-scale
-    design point; contrast the reference's full-rewrite merge,
+    """Merge-on-read replay AND compaction under one driver row: the same
+    derived feed replayed in TWO micro-batches into a ``merge_mode="mor"``
+    LakeTable — upserts/delete-markers land as O(delta) delta files (the
+    10^10-scale design point; contrast the reference's full-rewrite merge,
     ``NaraMergeUtil.scala:54-320``) and the read path reconciles layers
     with one per-key max_by aggregate (``lakehouse/table.py`` _reconcile).
-    The aggregate over the reconciled state is checked against the pure-SQL
-    last-event-wins oracle, so delta-layer reconciliation, delete markers,
-    and cross-batch upsert precedence are all under the value hash."""
+    The state aggregate is taken TWICE — ``stage='mor'`` straight off the
+    layered read, then after ``compact()`` (Iceberg rewrite_data_files
+    analog) ``stage='compacted'`` off the folded base files — and both are
+    unioned under the value hash, so delta-layer reconciliation, delete
+    markers, cross-batch upsert precedence, AND the rewrite's
+    delete-marker elimination + replace-commit are all oracle-checked in
+    a single gate entry (round-4 fold: the former ``mor_compact_state``
+    entry shared this oracle and is absorbed here to fit the driver's
+    50-entry cap)."""
     import uuid as _uuid
 
     from ingestion3_spark.cdc.replay import ReplayEngine
@@ -1558,12 +1567,21 @@ def q_mor_replay_state(spark, sf):
     )
     eng = ReplayEngine(spark, table, error_dir=f"{base}/err")
     eng.replay(_cdc_feed_from_events(spark, sf), num_batches=2)
-    return table.read().groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("sum_ntok"),
-        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_tok0"),
-        F.sum(F.element_at("tokens", 2).cast("bigint")).alias("sum_tok1"),
-    )
+
+    def _state(stage):
+        return table.read().groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_ntok"),
+            F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_tok0"),
+            F.sum(F.element_at("tokens", 2).cast("bigint")).alias("sum_tok1"),
+        ).withColumn("stage", F.lit(stage))
+
+    # materialize the layered-read answer (a handful of source groups)
+    # BEFORE the rewrite replaces the files it reads
+    pre = _state("mor")
+    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    table.compact(min_files=1)
+    return pre.unionByName(_state("compacted"))
 
 
 SQL_mor_replay_state = """
@@ -1578,42 +1596,18 @@ WITH feed AS (
 ), w AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
   FROM feed
+), state AS (
+  SELECT source, COUNT(*) AS n_docs,
+         2 * COUNT(*) AS sum_ntok,
+         CAST(SUM(tok0) AS BIGINT) AS sum_tok0,
+         CAST(SUM(tok1) AS BIGINT) AS sum_tok1
+  FROM w WHERE rn = 1 AND op <> 'delete'
+  GROUP BY 1
 )
-SELECT source, COUNT(*) AS n_docs,
-       2 * COUNT(*) AS sum_ntok,
-       SUM(tok0) AS sum_tok0,
-       SUM(tok1) AS sum_tok1
-FROM w WHERE rn = 1 AND op <> 'delete'
-GROUP BY 1
+SELECT *, 'mor' AS stage FROM state
+UNION ALL
+SELECT *, 'compacted' AS stage FROM state
 """
-
-
-def q_mor_compact_state(spark, sf):
-    """MOR compaction under the driver gate: the mor_replay_state scenario
-    plus a ``compact()`` (Iceberg rewrite_data_files analog) folding the
-    delta layers into base files before the final read — the aggregate must
-    be identical pre- and post-fold, so the rewrite's reconcile-read,
-    delete-marker elimination, and replace-commit are all value-hashed."""
-    import uuid as _uuid
-
-    from ingestion3_spark.cdc.replay import ReplayEngine
-
-    base = f"/tmp/i3s_morc_gate_{_uuid.uuid4().hex[:10]}"
-    table = ReplayEngine.create_table(
-        spark, f"{base}/table", num_buckets=8, merge_mode="mor"
-    )
-    eng = ReplayEngine(spark, table, error_dir=f"{base}/err")
-    eng.replay(_cdc_feed_from_events(spark, sf), num_batches=2)
-    table.compact(min_files=1)
-    return table.read().groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("sum_ntok"),
-        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_tok0"),
-        F.sum(F.element_at("tokens", 2).cast("bigint")).alias("sum_tok1"),
-    )
-
-
-SQL_mor_compact_state = SQL_mor_replay_state
 
 
 def q_schema_evolution_replay(spark, sf):
@@ -1684,8 +1678,8 @@ WITH feed AS (
 )
 SELECT src, lang, COUNT(*) AS n_docs,
        2 * COUNT(*) AS sum_ntok,
-       SUM(tok0) AS sum_tok0,
-       SUM(tok1) AS sum_tok1
+       CAST(SUM(tok0) AS BIGINT) AS sum_tok0,
+       CAST(SUM(tok1) AS BIGINT) AS sum_tok1
 FROM w WHERE rn = 1 AND op <> 'delete'
 GROUP BY 1, 2
 """
@@ -1720,7 +1714,7 @@ def q_csv_log_roundtrip(spark, sf):
 SQL_csv_log_roundtrip = """
 WITH r AS (
   SELECT event_type, COUNT(*) AS n,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c
   FROM events GROUP BY 1
 )
 SELECT event_type, n, sum_value_c,
@@ -1771,9 +1765,9 @@ def q_snapshot_discovery(spark, sf):
 
 
 SQL_snapshot_discovery = """
-SELECT 'latest' AS snap, COUNT(*) AS n_rows, SUM(user_id) AS sum_n FROM events
+SELECT 'latest' AS snap, COUNT(*) AS n_rows, CAST(SUM(user_id) AS BIGINT) AS sum_n FROM events
 UNION ALL
-SELECT 'first' AS snap, COUNT(*) AS n_rows, SUM(user_id) AS sum_n
+SELECT 'first' AS snap, COUNT(*) AS n_rows, CAST(SUM(user_id) AS BIGINT) AS sum_n
 FROM events WHERE event_id < 5000
 """
 
@@ -1892,7 +1886,6 @@ QUERIES: dict[str, callable] = {
     "cdc_error_users": q_cdc_error_users,
     "cdc_signup_no_purchase": q_cdc_signup_no_purchase,
     "q1_pricing_summary": q_q1_pricing_summary,
-    "q3_revenue_by_order": q_q3_revenue_by_order,
     "q5_nation_revenue": q_q5_nation_revenue,
     "seg_broadcast_agg": q_seg_broadcast_agg,
     "rollup_lineitem": q_rollup_lineitem,
@@ -1903,7 +1896,6 @@ QUERIES: dict[str, callable] = {
     "orders_pivot": q_orders_pivot,
     "doc_stats": q_doc_stats,
     "doc_fingerprint": q_doc_fingerprint,
-    "lang_id": q_lang_id,
     "doc_exact_dups": q_doc_exact_dups,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1928,7 +1920,6 @@ QUERIES: dict[str, callable] = {
     "csv_log_roundtrip": q_csv_log_roundtrip,
     "snapshot_discovery": q_snapshot_discovery,
     "mor_replay_state": q_mor_replay_state,
-    "mor_compact_state": q_mor_compact_state,
     "token_packing": q_token_packing,
     "dup_clusters": q_dup_clusters,
     "doc_sample_stratified": q_doc_sample_stratified,

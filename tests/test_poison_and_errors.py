@@ -157,3 +157,61 @@ def test_legacy_error_dir_coexists(spark, tmp_table_path, tmp_path):
     df = eng.errors_df()
     assert df.count() == 11  # 10 new v2 rows + 1 legacy row
     assert os.path.exists(str(err_root / "errors_v2"))
+
+
+@pytest.mark.parametrize("mode", ["concurrent", "errfirst", "optimistic"])
+def test_null_op_routes_to_errors_not_dropped(
+    spark, tmp_table_path, tmp_path, monkeypatch, mode
+):
+    """NULL op must classify as an unknown-op ERROR (round-3 advisory): the
+    old three-valued error_predicate() made filter(pred) and filter(~pred)
+    BOTH drop the row — it vanished silently while the checkpoint advanced
+    past its seq, and clean_count overcounted. Now the predicate is
+    NULL-definite: the row lands in the error table, the event/error
+    counters reconcile, and the doc's base row is untouched."""
+    monkeypatch.setenv("I3S_WINNER_MODE", mode)
+    base = make_corpus(20, seed=17, max_len=16)
+    tok = pa.array([[5, 6], None, [7, 8]], pa.list_(pa.int32()))
+    feed = pa.table(
+        {
+            "seq": pa.array([1, 2, 3], pa.int64()),
+            "part": pa.array([0, 0, 0], pa.int32()),
+            # doc 0: NULL op WITH payload; doc 1: NULL op, no payload;
+            # doc 2: normal update
+            "op": pa.array([None, None, "update"], pa.string()),
+            "doc_id": pa.array(["doc-00000000", "doc-00000001", "doc-00000002"]),
+            "tokens": tok,
+            "n_tok": pa.array([2, None, 2], pa.int32()),
+            "source": pa.array(["s1", None, "s1"]),
+        }
+    )
+    table = _seed_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    stats = eng.apply_batch(_spark_df(spark, feed), batch_id=0)
+    assert stats.events_in == 3
+    assert stats.errors == 2, "NULL-op rows must be error-routed, not dropped"
+    err = eng.errors_df()
+    assert err.count() == 2
+    state = table_state([r.asDict() for r in table.read().collect()])
+    assert "doc-00000000" in state  # base row survives the NULL-op event
+    assert "doc-00000001" in state
+    assert state["doc-00000002"] == ((7, 8), 2, "s1")
+
+
+def test_replay_with_debug_key_verification(
+    spark, tmp_table_path, tmp_path, monkeypatch
+):
+    """I3S_DEBUG=1 re-verifies, per late-materialized row, that the payload
+    joined via the packed (seq, part) long belongs to the winner's key —
+    the defensive check the packed-key fast path dropped (round-3 advisory).
+    A contract-abiding feed must replay to the exact oracle state with the
+    assertion enabled."""
+    monkeypatch.setenv("I3S_DEBUG", "1")
+    base = make_corpus(100, seed=23, max_len=32)
+    events = make_events(800, n_base_docs=100, seed=23, n_parts=4, max_len=32)
+    table = _seed_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    eng.replay(_spark_df(spark, events), num_batches=2)
+    expected = replay_oracle(base, events)
+    actual = table_state([r.asDict() for r in table.read().collect()])
+    assert not diff_states(expected, actual)

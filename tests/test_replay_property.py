@@ -103,6 +103,8 @@ def test_error_predicate_matches_messages(spark):
         ("update", None, 3),          # ERROR null tokens on non-delete
         ("delete", None, None),       # clean delete
         ("delete", [9, 9], 2),        # info only (payload on delete)
+        (None, [1, 2], 2),            # ERROR unknown op (NULL op, payload)
+        (None, None, None),           # ERROR unknown op (NULL op, no payload)
     ]
     feed = pa.table({
         "seq": pa.array(range(1, len(rows) + 1), pa.int64()),
@@ -127,9 +129,20 @@ def test_error_predicate_matches_messages(spark):
     )
     assert len(got) == len(rows)
     for r in got:
-        assert bool(r["cheap"]) == bool(r["full"]), r
-    expected_err = {3, 4, 5, 6}
+        # NULL-definite contract: neither side may be three-valued NULL
+        # (bool(None) == bool(False) would mask a silent-drop divergence)
+        assert r["cheap"] is not None and r["full"] is not None, r
+        assert r["cheap"] == r["full"], r
+    expected_err = {3, 4, 5, 6, 9, 10}
     assert {r["seq"] for r in got if r["cheap"]} == expected_err
+
+    # filter-count partition check: filter(pred) + filter(~pred) must cover
+    # EVERY row — a NULL predicate drops the row from both branches
+    pred = val.error_predicate()
+    n_err = df.filter(pred).count()
+    n_clean = df.filter(~pred).count()
+    assert n_err + n_clean == len(rows)
+    assert n_err == len(expected_err)
 
 
 def test_normalize_payload_matches_validate_events(spark):
