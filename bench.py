@@ -7,7 +7,10 @@ sink (no collect cost).
 Part B — CDC replay throughput: a seeded synthetic feed replayed into a
 fresh LakeTable, at TWO parallelism levels (N=CPUS/4 and 4N=CPUS cores,
 fresh JVM each via subprocess) to evidence the north_rule scaling
-criterion: efficiency = thr_4N / (4 * thr_N).
+criterion: efficiency = thr_4N / (4 * thr_N). Each paired round runs BOTH
+merge modes inside the same host-drift window — MOR (delta-file writes +
+one timed compaction to the same folded end state) is the headline mode,
+COW disclosed alongside (SPARK_GRAFT_SCALING_MODES to change).
 
 Prints ONE JSON line:
 {"metric": "change_events_per_sec", "value": thr_4N, "unit": "events/sec",
@@ -30,7 +33,7 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
 CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "500000"))
 CDC_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 # MOR evidence row: small delta over a large base — the 10^10-scale design
 # point where O(delta) delta-file writes beat COW's touched-bucket rewrite
 MOR_BENCH = os.environ.get("SPARK_GRAFT_MOR_BENCH", "1") == "1"
@@ -81,7 +84,19 @@ def ensure_feed(path: str, n_events: int, n_base: int) -> str:
     return feed
 
 
-def run_queries() -> dict[str, float]:
+QUERY_PASSES = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
+
+
+def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query MEDIAN over interleaved passes.
+
+    This host's effective CPU speed drifts 2-4x over minutes, so a single
+    sample per query is a lottery (round-3: the same kernel sweep measured
+    2.1s and 10.8s in back-to-back runs). Interleaving full passes — every
+    query once, then the whole list again — spreads each query's samples
+    across drift windows; the per-query median is the headline and every
+    raw sample is disclosed in ``query_reps``.
+    """
     from ingestion3_spark.plans.queries import QUERIES
     from ingestion3_spark.session import get_spark
 
@@ -95,17 +110,25 @@ def run_queries() -> dict[str, float]:
     QUERIES["doc_fingerprint"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # sketch queries persist narrow intermediates for their self-joins;
-        # release them so later queries are not charged for leaked storage
-        spark.catalog.clearCache()
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(max(QUERY_PASSES, 1)):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps[name].append(round(time.perf_counter() - t0, 3))
+            # sketch queries persist narrow intermediates for their
+            # self-joins; release them so later queries are not charged
+            # for leaked storage
+            spark.catalog.clearCache()
     spark.stop()
-    return times
+
+    def med(xs):
+        s = sorted(xs)
+        k = len(s)
+        return s[k // 2] if k % 2 else round((s[k // 2 - 1] + s[k // 2]) / 2, 3)
+
+    return {name: med(r) for name, r in reps.items()}, reps
 
 
 _SPIN = (
@@ -176,7 +199,11 @@ def run_ceiling(cores: int, feed: str) -> dict:
 
 def main() -> int:
     feed = ensure_feed(WORK, CDC_EVENTS, CDC_BASE)
-    times = run_queries()
+    # SPARK_GRAFT_QUERIES=0: scaling-probe mode (skip Part A)
+    if os.environ.get("SPARK_GRAFT_QUERIES", "1") == "1":
+        times, query_reps = run_queries()
+    else:
+        times, query_reps = {}, {}
 
     n = max(CPUS // 4, 1)
     if not CDC_SCALING:
@@ -211,38 +238,66 @@ def main() -> int:
             if os.environ.get("SPARK_GRAFT_BALLAST", "1") == "1"
             else {}
         )
+        # Dual-mode rounds (round-4): each round measures BOTH merge modes
+        # back-to-back inside the same drift window — MOR (O(delta) delta
+        # files + one timed compaction to the same end state) is the
+        # HEADLINE mode; COW (inline touched-bucket rewrite) is disclosed
+        # alongside from the very same windows. The host parallel-ceiling
+        # jobs run once per round (inside the headline mode's subprocesses)
+        # and normalize both modes — same window, same host state.
+        modes = [
+            m.strip()
+            for m in os.environ.get("SPARK_GRAFT_SCALING_MODES", "mor,cow").split(",")
+            if m.strip()
+        ]
+        headline_mode = modes[0]
+        mode_rounds = {m: [] for m in modes}
         for _ in range(max(SCALING_ROUNDS, 1)):
-            # each level's parallel-ceiling job runs INSIDE the replay
-            # subprocess (same JVM, same host window) so the normalization
-            # is not distorted by between-process host drift
-            r_n = run_replay(n, feed, env_extra=ballast_env)
-            r_4n = run_replay(CPUS, feed)
-            env = hw_envelope(n, CPUS)
-            speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
-            ceil_sp = r_n["ceiling_seconds"] / r_4n["ceiling_seconds"]
-            ceil_sh_sp = (
-                r_n["ceiling_shuffle_seconds"] / r_4n["ceiling_shuffle_seconds"]
-            )
-            rounds.append({
-                "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
-                "thr_4N": r_4n["events_per_sec"], "seconds_4N": r_4n["seconds"],
-                "efficiency": round(speedup / 4, 3),
-                "hw_speedup": env["hw_speedup"],
-                "cpu_env_efficiency": round(speedup / env["hw_speedup"], 3),
-                "ceiling_seconds_N": r_n["ceiling_seconds"],
-                "ceiling_seconds_4N": r_4n["ceiling_seconds"],
-                "ceiling_speedup": round(ceil_sp, 3),
-                "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
-                "ceiling_shuffle_seconds_N": r_n["ceiling_shuffle_seconds"],
-                "ceiling_shuffle_seconds_4N": r_4n["ceiling_shuffle_seconds"],
-                "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
-                # headline normalization: engine speedup vs the host's
-                # same-window perfect-scaling ceiling for a minimal keyed
-                # merge (one required co-locating exchange, zero engine
-                # logic — see tools/replay_bench.py and BENCH.md; every
-                # raw number is disclosed above)
-                "normalized_efficiency": round(speedup / ceil_sh_sp, 3),
-            })
+            ceils = None
+            env = None
+            for mode in modes:
+                menv = {"I3S_MERGE_MODE": mode}
+                if mode == "mor":
+                    menv["I3S_MOR_COMPACT"] = "1"
+                if mode != headline_mode:
+                    menv["I3S_CEILING"] = "0"
+                # each level's parallel-ceiling job runs INSIDE the replay
+                # subprocess (same JVM, same host window) so normalization
+                # is not distorted by between-process host drift
+                r_n = run_replay(n, feed, env_extra={**ballast_env, **menv})
+                r_4n = run_replay(CPUS, feed, env_extra=menv)
+                if mode == headline_mode:
+                    env = hw_envelope(n, CPUS)
+                    ceils = {
+                        "ceiling_seconds_N": r_n["ceiling_seconds"],
+                        "ceiling_seconds_4N": r_4n["ceiling_seconds"],
+                        "ceiling_shuffle_seconds_N": r_n["ceiling_shuffle_seconds"],
+                        "ceiling_shuffle_seconds_4N": r_4n["ceiling_shuffle_seconds"],
+                    }
+                speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
+                ceil_sp = ceils["ceiling_seconds_N"] / ceils["ceiling_seconds_4N"]
+                ceil_sh_sp = (
+                    ceils["ceiling_shuffle_seconds_N"]
+                    / ceils["ceiling_shuffle_seconds_4N"]
+                )
+                mode_rounds[mode].append({
+                    "merge_mode": mode,
+                    "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
+                    "thr_4N": r_4n["events_per_sec"], "seconds_4N": r_4n["seconds"],
+                    "efficiency": round(speedup / 4, 3),
+                    "hw_speedup": env["hw_speedup"],
+                    "cpu_env_efficiency": round(speedup / env["hw_speedup"], 3),
+                    **ceils,
+                    "ceiling_speedup": round(ceil_sp, 3),
+                    "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
+                    "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
+                    # headline normalization: engine speedup vs the host's
+                    # same-window perfect-scaling ceiling for a minimal
+                    # keyed merge (one required co-locating exchange, zero
+                    # engine logic — see tools/replay_bench.py, BENCH.md)
+                    "normalized_efficiency": round(speedup / ceil_sh_sp, 3),
+                })
+        rounds = mode_rounds[headline_mode]
         # headline estimator: MIN across rounds per level, for the replay
         # AND the ceilings alike. Host throttling only ever ADDS time, so
         # each min independently estimates the unthrottled time at that
@@ -250,55 +305,62 @@ def main() -> int:
         # episode inside one window distorts that round's ratio by 2-4x —
         # see BENCH.md measurement hygiene; per-round ratios stay disclosed
         # in `rounds` for transparency).
-        t_n = min(r["seconds_N"] for r in rounds)
-        t_4n = min(r["seconds_4N"] for r in rounds)
-        c_n = min(r["ceiling_seconds_N"] for r in rounds)
-        c_4n = min(r["ceiling_seconds_4N"] for r in rounds)
-        cs_n = min(r["ceiling_shuffle_seconds_N"] for r in rounds)
-        cs_4n = min(r["ceiling_shuffle_seconds_4N"] for r in rounds)
-        speedup = t_n / t_4n
-        ceil_sp = c_n / c_4n
-        ceil_sh_sp = cs_n / cs_4n
-        events = r_4n["events"]
-        cdc = {
-            "events": events,  # feed size: identical across rounds
-            "cores_N": n,
-            "cores_4N": CPUS,
-            "estimator": "min-over-rounds per level (throttle adds time only)",
-            "ballast_N": bool(ballast_env),
-            "thr_N": round(events / t_n, 1),
-            "seconds_N": t_n,
-            "thr_4N": round(events / t_4n, 1),
-            "seconds_4N": t_4n,
-            "scaling_efficiency": round(speedup / 4, 3),
-            "hw_speedup": rounds[-1]["hw_speedup"],
-            "cpu_env_efficiency": round(speedup / rounds[-1]["hw_speedup"], 3),
-            "ceiling_seconds_N": c_n,
-            "ceiling_seconds_4N": c_4n,
-            "ceiling_speedup": round(ceil_sp, 3),
-            "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
-            "ceiling_shuffle_seconds_N": cs_n,
-            "ceiling_shuffle_seconds_4N": cs_4n,
-            "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
-            "normalized_scaling_efficiency": round(speedup / ceil_sh_sp, 3),
-            "rounds": rounds,
-        }
-        # conservative estimator alongside min-over-rounds: the MEDIAN of
-        # the per-round normalized (and raw) efficiencies — a single
-        # throttle episode cannot inflate it, and it does not mix samples
-        # across rounds. Both estimators are reported; see BENCH.md.
         def _median(xs):
             s = sorted(xs)
-            n = len(s)
-            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+            k = len(s)
+            return s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
 
-        cdc["normalized_efficiency_median_round"] = round(
-            _median([r["normalized_efficiency"] for r in rounds]), 3
-        )
-        cdc["raw_efficiency_median_round"] = round(
-            _median([r["efficiency"] for r in rounds]), 3
-        )
-        times["cdc_replay"] = t_4n
+        def aggregate(rnds, events):
+            t_n = min(r["seconds_N"] for r in rnds)
+            t_4n = min(r["seconds_4N"] for r in rnds)
+            c_n = min(r["ceiling_seconds_N"] for r in rnds)
+            c_4n = min(r["ceiling_seconds_4N"] for r in rnds)
+            cs_n = min(r["ceiling_shuffle_seconds_N"] for r in rnds)
+            cs_4n = min(r["ceiling_shuffle_seconds_4N"] for r in rnds)
+            speedup = t_n / t_4n
+            agg = {
+                "events": events,  # feed size: identical across rounds
+                "cores_N": n,
+                "cores_4N": CPUS,
+                "estimator": "min-over-rounds per level (throttle adds time only)",
+                "ballast_N": bool(ballast_env),
+                "thr_N": round(events / t_n, 1),
+                "seconds_N": t_n,
+                "thr_4N": round(events / t_4n, 1),
+                "seconds_4N": t_4n,
+                "scaling_efficiency": round(speedup / 4, 3),
+                "hw_speedup": rnds[-1]["hw_speedup"],
+                "cpu_env_efficiency": round(speedup / rnds[-1]["hw_speedup"], 3),
+                "ceiling_seconds_N": c_n,
+                "ceiling_seconds_4N": c_4n,
+                "ceiling_speedup": round(c_n / c_4n, 3),
+                "compute_ceiling_efficiency": round(speedup / (c_n / c_4n), 3),
+                "ceiling_shuffle_seconds_N": cs_n,
+                "ceiling_shuffle_seconds_4N": cs_4n,
+                "ceiling_shuffle_speedup": round(cs_n / cs_4n, 3),
+                "normalized_scaling_efficiency": round(speedup / (cs_n / cs_4n), 3),
+                # conservative estimators alongside min-over-rounds: the
+                # MEDIAN of per-round raw/normalized efficiencies — a single
+                # throttle episode cannot inflate it, and it does not mix
+                # samples across rounds. Both reported; see BENCH.md.
+                "normalized_efficiency_median_round": round(
+                    _median([r["normalized_efficiency"] for r in rnds]), 3
+                ),
+                "raw_efficiency_median_round": round(
+                    _median([r["efficiency"] for r in rnds]), 3
+                ),
+                "rounds": rnds,
+            }
+            return agg
+
+        events = r_4n["events"]
+        cdc = aggregate(rounds, events)
+        cdc["merge_mode"] = headline_mode
+        # secondary modes from the SAME drift windows, fully disclosed
+        cdc["modes"] = {
+            m: aggregate(mode_rounds[m], events) for m in modes
+        }
+        times["cdc_replay"] = cdc["seconds_4N"]
 
     if MOR_BENCH:
         # delta << base: MOR appends O(delta) delta files; COW rewrites
@@ -336,7 +398,8 @@ def main() -> int:
         "metric": "change_events_per_sec",
         "value": cdc["thr_4N"],
         "unit": "events/sec",
-        "queries": times,
+        "queries": times,  # per-query MEDIAN over interleaved passes
+        "query_reps": query_reps,  # every raw sample, disclosed
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cdc": cdc,
     }))

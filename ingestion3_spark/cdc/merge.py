@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ingestion3_spark.lakehouse.adapter import TableAdapter
 from ingestion3_spark.lakehouse.table import LakeTable, Snapshot
 
 LINEAGE_COLS = [
@@ -53,7 +54,7 @@ class MergeResult:
 
 
 def merge_batch(
-    table: LakeTable,
+    table: TableAdapter,
     changes: DataFrame,
     winners: DataFrame,
     batch_id: int,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ingestion3_spark.cdc import dedup as dd
 from ingestion3_spark.cdc import validate as val
 from ingestion3_spark.cdc.merge import MergeResult, merge_batch
+from ingestion3_spark.lakehouse.adapter import TableAdapter
 from ingestion3_spark.lakehouse.table import Field, LakeTable
 
 CORPUS_FIELDS = [
@@ -61,7 +62,10 @@ class BatchStats:
 @dataclass
 class ReplayEngine:
     spark: SparkSession
-    table: LakeTable
+    # the adapter seam (lakehouse/adapter.py): everything the engine calls
+    # on the table, with the real-Iceberg binding documented per call;
+    # LakeTable is the sandbox implementation
+    table: TableAdapter
     error_dir: str | None = None
     salted_dedup: bool = False
     salt_buckets: int = 32

@@ -93,3 +93,27 @@ def test_compact_fragmented_buckets(spark, table):
         by_bucket.setdefault(e.bucket, []).append(e)
     assert all(len(es) == 1 for es in by_bucket.values())
     assert table.read().count() == rows_before
+
+
+def test_laketable_satisfies_adapter_protocol(spark, tmp_table_path):
+    """The adapter seam (lakehouse/adapter.py): LakeTable must satisfy the
+    TableAdapter Protocol the engine is typed against — the contract a real
+    Iceberg binding implements (MERGE INTO / ALTER TABLE / snapshot read,
+    documented per member in the adapter module)."""
+    from ingestion3_spark.lakehouse.adapter import TableAdapter
+    from ingestion3_spark.lakehouse.table import Field, LakeTable
+
+    t = LakeTable.create(
+        spark, tmp_table_path,
+        [Field(1, "doc_id", "string"), Field(2, "tokens", "array<int>"),
+         Field(3, "n_tok", "int"), Field(4, "source", "string")],
+        num_buckets=4,
+    )
+    assert isinstance(t, TableAdapter)
+    # every Protocol member resolves on the instance
+    for member in (
+        "key_column", "merge_mode", "num_buckets", "column_names",
+        "bucket_expr", "checkpoint", "snapshots", "read", "write_files",
+        "commit", "add_column", "rename_column", "widen_column", "compact",
+    ):
+        assert hasattr(t, member), member

@@ -104,3 +104,60 @@ def test_load_fans_out_underplit_scans(spark):
     # tiny dims (<1MB) skip the exchange entirely
     region = load(spark, "/root/testdata/sf0.01", "region")
     assert region.rdd.getNumPartitions() <= 2
+
+
+def test_star_components_known_graph(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_star_components_path_graph_logarithmic_rounds(spark):
+    """The large-star/small-star variant's reason to exist: a 1000-node
+    path graph (diameter 999) must converge in O(log n) rounds — plain
+    min-label propagation needs O(n) rounds on the same input."""
+    import math
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats = {}
+    rows = connected_components(
+        pairs, algorithm="star", max_iter=40, stats=stats
+    ).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == n
+    # geometric diameter contraction: comfortably within 2*log2(n)+2
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 2, stats
+
+
+def test_star_matches_propagate_on_random_graph(spark):
+    """Both algorithms are independent implementations of the same
+    semantics — they must produce identical (node, cluster_id) maps on a
+    seeded random graph with many components."""
+    import random
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(300), rng.randrange(300)) for _ in range(220)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    prop = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, max_iter=60).collect()
+    }
+    star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert prop == star
