@@ -111,3 +111,44 @@ def test_mor_insert_delete_insert_one_key(spark, tmp_table_path, tmp_path):
     assert list(state["doc-x"][0]) == [9]
     inv = sum(s.merge.counts["invalid_deletes"] for s in stats if s.merge)
     assert inv == 1
+
+
+def test_mor_resume_from_checkpoint(spark, tmp_table_path, tmp_path, fixtures):
+    """Restart mid-replay under MOR (the headline bench mode): apply a
+    prefix, reload the table fresh, hand the FULL feed to a new engine —
+    overlap skipped via the snapshot checkpoint, suffix applied, final
+    reconciled state matches the dict-replay oracle."""
+    from ingestion3_spark.lakehouse.table import LakeTable
+
+    base, events = fixtures
+    table = _mor_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    df = _spark_df(spark, events)
+    eng.apply_batch(df.filter("seq <= 1500"), batch_id=0)
+
+    table2 = LakeTable.load(spark, tmp_table_path)
+    assert table2.merge_mode == "mor"
+    eng2 = ReplayEngine(spark, table2, error_dir=str(tmp_path / "err"))
+    eng2.replay(df, num_batches=3)
+    assert not diff_states(replay_oracle(base, events), _state(table2))
+
+
+def test_mor_resume_across_compaction(spark, tmp_table_path, tmp_path, fixtures):
+    """A compaction between crash and resume must not lose the checkpoint:
+    its snapshot carries the offsets forward, so the resumed full feed
+    skips the already-applied prefix instead of re-applying it."""
+    from ingestion3_spark.lakehouse.table import LakeTable
+
+    base, events = fixtures
+    table = _mor_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    df = _spark_df(spark, events)
+    eng.apply_batch(df.filter("seq <= 1500"), batch_id=0)
+    ckpt_before = table.checkpoint
+    assert table.compact(min_files=2) > 0
+    assert table.checkpoint == ckpt_before  # offsets survive the compact
+
+    table2 = LakeTable.load(spark, tmp_table_path)
+    eng2 = ReplayEngine(spark, table2, error_dir=str(tmp_path / "err"))
+    eng2.replay(df, num_batches=2)
+    assert not diff_states(replay_oracle(base, events), _state(table2))
