@@ -280,8 +280,9 @@ class LakeTable:
         repartitioned by bucket so each shuffle partition writes exactly
         one bucket dir (one file per bucket). ``key_partitioned=True`` is
         the fanout-writer path (Iceberg's fanout write analog): the caller
-        guarantees the df is already exchange-partitioned on the key (e.g.
-        the output of a per-key dedup), so the co-locating repartition is
+        guarantees the df is already exchange-partitioned on the key or on
+        ``__bucket`` itself (per-key dedup output; bucket-aligned
+        reconcile), so the co-locating repartition is
         SKIPPED and each task writes the bucket dirs its keys hash into —
         one less full materialization of the wide payload in the merge's
         critical path, at the cost of up-to tasks-per-bucket files (bounded
@@ -425,12 +426,19 @@ class LakeTable:
         buckets: set[int] | None = None,
         snapshot_id: int | None = None,
         with_bucket_col: bool = False,
+        bucket_aligned: bool = False,
     ) -> DataFrame:
         """Read live data mapped to the current schema.
 
         ``buckets`` prunes at the manifest level (only matching files are
         listed) AND via the ``__bucket`` partition column, so a merge that
         touches 3 of 1024 buckets reads 3/1024ths of the data.
+
+        ``bucket_aligned=True`` makes the MOR reconcile exchange on
+        ``__bucket`` instead of the key (see ``_reconcile``) so the output
+        is physically partitioned one-bucket-per-task — callers that
+        rewrite the result into the table's bucket layout (compaction)
+        can then skip their own co-locating exchange entirely.
         """
         files = self.live_files(snapshot_id)
         if buckets is not None:
@@ -447,7 +455,9 @@ class LakeTable:
         if not delta_files:
             out = self._union_scan(base_files, cur_fields)
         else:
-            out = self._reconcile(base_files, delta_files, cur_fields)
+            out = self._reconcile(
+                base_files, delta_files, cur_fields, bucket_aligned=bucket_aligned
+            )
         if not with_bucket_col:
             out = out.drop("__bucket")
         return out
@@ -476,13 +486,26 @@ class LakeTable:
         base_files: list[FileEntry],
         delta_files: list[FileEntry],
         cur_fields: list[Field],
+        bucket_aligned: bool = False,
     ) -> DataFrame:
         """MOR read: resolve each key to its latest (__seq, __part) row
         across base (treated as seq -1) and all delta layers, dropping
         delete tombstones. One hash aggregation on the key — partial
         aggregation bounds shuffle rows by distinct keys per map task, and
         bucket pruning applies before the scan, so reconciliation cost
-        follows the buckets actually read."""
+        follows the buckets actually read.
+
+        ``bucket_aligned=True``: exchange on ``__bucket`` (the table's own
+        layout hash, a pure function of the key) and group by
+        ``(__bucket, key)`` — hash-clustering on a subset of the grouping
+        keys satisfies the aggregation's distribution, so the planner adds
+        NO second exchange, and the output leaves each bucket whole inside
+        one task. Compaction pairs this with the fanout write
+        (``write_files(key_partitioned=True)``) to rewrite the table with
+        ONE wide-payload shuffle instead of two — at 10^10 rows the
+        reconcile+rewrite is the entire compaction cost. Key-skew is
+        unchanged (a hot key maps to one reducer either way); bucket
+        counts must scale with table size (BENCH.md) for task balance."""
         key = self.key_column
         payload = [f.name for f in cur_fields if f.name != key]
         SYS = ("__op", "__seq", "__part")
@@ -497,6 +520,21 @@ class LakeTable:
         allr = parts[0]
         for p in parts[1:]:
             allr = allr.unionByName(p)
+        if bucket_aligned:
+            w = (
+                allr.repartition("__bucket")
+                .groupBy("__bucket", key)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload, "__op"), F.struct("__seq", "__part")
+                    ).alias("__w")
+                )
+            )
+            return w.filter(F.col("__w.__op") != "delete").select(
+                key,
+                *[F.col(f"__w.{c}").alias(c) for c in payload],
+                "__bucket",
+            )
         w = allr.groupBy(key).agg(
             F.max_by(
                 F.struct(*payload, "__bucket", "__op"), F.struct("__seq", "__part")
@@ -625,8 +663,16 @@ class LakeTable:
         frag = {b: es for b, es in by_bucket.items() if len(es) >= min_files}
         if not frag:
             return 0
-        df = self.read(buckets=set(frag))
-        new_files = self.write_files(df)
+        # MOR fold: the bucket-aligned reconcile leaves each bucket whole
+        # inside one task, so the rewrite skips its co-locating exchange —
+        # one wide-payload shuffle for the whole compaction instead of two
+        # (reconcile-by-key + repartition-by-bucket). Still one file per
+        # bucket: a bucket's rows never span tasks. Pure-base compaction
+        # (COW fragmentation) keeps the single write exchange — its scan
+        # partitions don't align with buckets.
+        has_delta = any(e.kind == "delta" for es in frag.values() for e in es)
+        df = self.read(buckets=set(frag), bucket_aligned=has_delta)
+        new_files = self.write_files(df, key_partitioned=has_delta)
         self.commit(
             "replace",
             add_files=new_files,

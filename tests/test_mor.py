@@ -152,3 +152,26 @@ def test_mor_resume_across_compaction(spark, tmp_table_path, tmp_path, fixtures)
     eng2 = ReplayEngine(spark, table2, error_dir=str(tmp_path / "err"))
     eng2.replay(df, num_batches=2)
     assert not diff_states(replay_oracle(base, events), _state(table2))
+
+
+def test_mor_bucket_aligned_reconcile_single_exchange(spark, tmp_table_path, tmp_path, fixtures):
+    """Compaction's scale contract: the bucket-aligned reconcile must plan
+    exactly ONE exchange (on __bucket), with the (__bucket, key) groupBy
+    satisfied by that clustering — a second exchange would re-shuffle the
+    full wide payload. Also: the paired fanout rewrite still yields one
+    file per bucket (a bucket never spans tasks)."""
+    base, events = fixtures
+    table = _mor_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    eng.replay(_spark_df(spark, events), num_batches=2)
+
+    plan = table.read(bucket_aligned=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    expected = _state(table)
+
+    assert table.compact(min_files=2) > 0
+    by_bucket = {}
+    for e in table.live_files():
+        by_bucket.setdefault(e.bucket, []).append(e)
+    assert all(len(es) == 1 for es in by_bucket.values())
+    assert not diff_states(expected, _state(table))
