@@ -39,7 +39,10 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
 CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "500000"))
 CDC_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
+# 3 dual-mode rounds = 12 replay subprocesses (~55 min with warmups);
+# an odd round count also makes the per-round median a true middle
+# sample — one throttled round cannot touch it
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 # MOR evidence row: small delta over a large base — the 10^10-scale design
 # point where O(delta) delta-file writes beat COW's touched-bucket rewrite
 MOR_BENCH = os.environ.get("SPARK_GRAFT_MOR_BENCH", "1") == "1"
