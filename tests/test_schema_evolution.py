@@ -114,3 +114,42 @@ def test_snapshot_log_records_evolution(spark, seeded):
     table.add_column("lang", "string")
     ops = [s.operation for s in table.snapshots()]
     assert any(op.startswith("evolve-schema[add:lang]") for op in ops)
+
+
+def test_add_column_mid_replay_mor_with_deltas(spark, tmp_table_path, tmp_path):
+    """Evolution on a MOR table while un-compacted delta layers from the
+    OLD schema version are live: the reconciling read must map v1 base and
+    v1 delta files to the evolved schema (null new column), new-version
+    deltas carry real values, and a compaction across the version mix
+    folds to one base file per bucket without losing either."""
+    table = ReplayEngine.create_table(
+        spark, tmp_table_path, num_buckets=4, merge_mode="mor"
+    )
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    ev1 = make_events(800, n_base_docs=0, seed=31, n_parts=2, max_len=16,
+                      null_tokens_rate=0.0)
+    eng.replay(_df(spark, ev1), num_batches=1)
+    assert any(e.kind == "delta" for e in table.live_files())  # v1 deltas live
+
+    table.add_column("lang", "string")
+    assert table.read().filter("lang is not null").count() == 0
+
+    ev2 = _with_lang(
+        make_events(800, n_base_docs=400, seed=32, n_parts=2, max_len=16,
+                    start_seq=10_001, null_tokens_rate=0.0),
+        "de",
+    )
+    eng.replay(_df(spark, ev2), num_batches=1)
+    got = table.read()
+    n_de = got.filter("lang = 'de'").count()
+    n_null = got.filter("lang is null").count()
+    assert n_de > 0 and n_null > 0
+    total = got.count()
+
+    # compaction folds the v1/v2 mix; state and lang values survive
+    assert table.compact(min_files=2) > 0
+    assert all(e.kind == "base" for e in table.live_files())
+    after = table.read()
+    assert after.count() == total
+    assert after.filter("lang = 'de'").count() == n_de
+    assert after.filter("lang is null").count() == n_null
