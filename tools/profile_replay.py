@@ -70,6 +70,44 @@ def main() -> int:
     stages = json.load(urllib.request.urlopen(
         f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete"
     ))
+
+    def _ms(ts: str) -> float:
+        return time.mktime(time.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+
+    # Jobs timeline: the union of [submission, completion] intervals is the
+    # time SOME job was in flight; wall minus that union is pure driver-side
+    # serial time (Catalyst analysis, py4j, commit JSON, Observation.get) —
+    # the Amdahl term that caps N->4N scaling regardless of executor count.
+    jobs = json.load(urllib.request.urlopen(
+        f"http://localhost:4040/api/v1/applications/{app_id}/jobs?status=succeeded"
+    ))
+    intervals = []
+    stage_to_job = {}
+    for j in jobs:
+        if "completionTime" not in j:
+            continue
+        sub, comp = _ms(j["submissionTime"]), _ms(j["completionTime"])
+        if comp < mark - 1000:
+            continue
+        intervals.append((sub, comp))
+        for sid in j.get("stageIds", []):
+            stage_to_job[sid] = j["jobId"]
+    intervals.sort()
+    busy = 0.0
+    cur_s = cur_e = None
+    for s_, e_ in intervals:
+        if cur_e is None or s_ > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s_, e_
+        else:
+            cur_e = max(cur_e, e_)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    print(f"jobs in flight (union): {busy / 1000:.2f}s of {dt:.2f}s wall "
+          f"-> driver-serial gaps ~{dt - busy / 1000:.2f}s "
+          f"({len(intervals)} jobs)")
+
     rows = []
     for s in stages:
         # stage submissionTime like '2026-08-18T10:00:00.000GMT'
@@ -78,6 +116,7 @@ def main() -> int:
         if t < mark - 1000:
             continue
         rows.append({
+            "job": stage_to_job.get(s["stageId"]),
             "stage": s["stageId"],
             "tasks": s["numCompleteTasks"],
             "wall_s": round((s["completionTime"] and (

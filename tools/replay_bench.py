@@ -144,6 +144,13 @@ def _run(cores, events_path, n_base, num_batches, work, reps, ballast) -> int:
             "spark.sql.maxConcurrentOutputFileWriters": os.environ.get(
                 "I3S_MAX_WRITERS", "0"
             ),
+            # shuffle/broadcast wire codec (STATIC conf — needs its own JVM,
+            # hence an env knob here, not an ab_replay sql: key). The token
+            # payload is ~50k-vocab int32s: lz4 (default) finds no matches
+            # in the 2-byte-value/2-byte-zero pattern, zstd entropy-codes it
+            # ~2x smaller — and exchange BYTES are the non-scaling resource
+            # on this host (BENCH.md memcpy envelope ~1.2x for 8->32)
+            "spark.io.compression.codec": os.environ.get("I3S_IO_CODEC", "lz4"),
         },
     )
     events = spark.read.parquet(events_path)
