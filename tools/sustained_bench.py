@@ -1,0 +1,133 @@
+"""Sustained multi-batch replay: does per-batch cost stay flat?
+
+Usage: python tools/sustained_bench.py <cores> <events_parquet> <n_base> \
+           <num_batches> <work_dir> [compact_every]
+
+The north-rule metric is SUSTAINED upsert throughput at 10^10 events —
+i.e. thousands of micro-batches against one ever-growing table. A
+per-batch cost that creeps with snapshot count, manifest size, or delta
+layering would invalidate any single-batch number, so this harness
+replays one feed as N seq-range batches into ONE table and prints each
+batch's wall seconds plus first-half/second-half medians. In MOR mode
+(`I3S_MERGE_MODE=mor`) pass `compact_every` to fold delta layers on a
+cadence, timing compactions separately — the steady-state operating mode
+(delta writes O(delta); compaction amortized over the cadence).
+
+Prints one JSON line:
+  {"mode": .., "batches": [s..], "compactions": [s..],
+   "first_half_median": s, "second_half_median": s, "ratio": r,
+   "rows_final": n, "events": e, "sustained_events_per_sec": thr}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ingestion3_spark.cdc.generator import make_corpus, write_fixture  # noqa: E402
+from ingestion3_spark.cdc.replay import ReplayEngine  # noqa: E402
+from ingestion3_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    cores = int(sys.argv[1])
+    events_path = sys.argv[2]
+    n_base = int(sys.argv[3])
+    num_batches = int(sys.argv[4])
+    work = sys.argv[5]
+    compact_every = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    mode = os.environ.get("I3S_MERGE_MODE", "cow")
+
+    spark = get_spark(
+        f"sustained-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.local.dir": os.path.join(work, "spark-local"),
+            "spark.sql.parquet.compression.codec": os.environ.get(
+                "I3S_PARQUET_CODEC", "uncompressed"
+            ),
+        },
+    )
+    events = spark.read.parquet(events_path)
+    n_events = events.count()
+
+    tp = os.path.join(work, f"sustained_{cores}")
+    ed = os.path.join(work, f"sustained_err_{cores}")
+    shutil.rmtree(tp, ignore_errors=True)
+    shutil.rmtree(ed, ignore_errors=True)
+    table = ReplayEngine.create_table(spark, tp, num_buckets=64, merge_mode=mode)
+    if n_base:
+        base_pq = os.path.join(work, f"base_{n_base}.parquet")
+        if not os.path.exists(base_pq):
+            write_fixture(base_pq, make_corpus(n_base, seed=42, max_len=128))
+        table.commit("append", add_files=table.write_files(spark.read.parquet(base_pq)))
+    eng = ReplayEngine(spark, table, error_dir=ed)
+
+    # same deterministic seq-range split as ReplayEngine.replay — but
+    # PRE-MATERIALIZED into one parquet dir per batch. A real binlog tail
+    # delivers each micro-batch's events incrementally; filtering the whole
+    # feed by seq range inside the loop would re-scan all N events per
+    # batch (3 wide scans x num_batches full-feed reads — measured 3-4x
+    # inflation at 16 batches) and would time the harness, not the engine.
+    lo_hi = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = hi - lo + 1
+    step = max(1, span // num_batches + (1 if span % num_batches else 0))
+    chunks_dir = os.path.join(work, f"sustained_chunks_{cores}")
+    shutil.rmtree(chunks_dir, ignore_errors=True)
+    (
+        events
+        .withColumn("__b", ((F.col("seq") - F.lit(lo)) / F.lit(step)).cast("int"))
+        .write.partitionBy("__b").parquet(chunks_dir)
+    )
+
+    batch_s: list[float] = []
+    compact_s: list[float] = []
+    for b in range(num_batches):
+        b_lo = lo + b * step
+        if b_lo > hi:
+            break
+        chunk = spark.read.parquet(os.path.join(chunks_dir, f"__b={b}"))
+        t0 = time.perf_counter()
+        eng.replay(chunk, num_batches=1)
+        batch_s.append(round(time.perf_counter() - t0, 3))
+        if compact_every and (b + 1) % compact_every == 0:
+            t0 = time.perf_counter()
+            table.compact(min_files=2)
+            compact_s.append(round(time.perf_counter() - t0, 3))
+        print(f"[sustained] batch={b} {batch_s[-1]}s", flush=True)
+
+    half = len(batch_s) // 2
+    # skip batch 0 in the first half: it carries JIT/page-cache warmup
+    first = statistics.median(batch_s[1:half] or batch_s[:half])
+    second = statistics.median(batch_s[half:])
+    total = sum(batch_s) + sum(compact_s)
+    rows_final = table.read().count()
+    print(json.dumps({
+        "mode": mode,
+        "cores": cores,
+        "events": n_events,
+        "num_batches": len(batch_s),
+        "batches": batch_s,
+        "compactions": compact_s,
+        "compact_every": compact_every,
+        "first_half_median": round(first, 3),
+        "second_half_median": round(second, 3),
+        "ratio_second_over_first": round(second / first, 3),
+        "rows_final": rows_final,
+        "sustained_events_per_sec": round(n_events / total, 1),
+        "total_seconds": round(total, 3),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
