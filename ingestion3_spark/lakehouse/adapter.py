@@ -57,6 +57,10 @@ Member                    Iceberg binding
                           field-id semantics LakeTable implements.
 ``compact``               ``CALL system.rewrite_data_files(t)`` (plus
                           ``rewrite_position_delete_files`` for MOR).
+``compact_deltas``        ``CALL system.rewrite_position_delete_files(t)``
+                          alone — minor compaction: fold the delta/delete
+                          stack without rewriting data files, bounding MOR
+                          read amplification between full rewrites.
 ========================  ====================================================
 
 Reference provenance: the contract replaces the reference's non-atomic
@@ -119,3 +123,5 @@ class TableAdapter(Protocol):
 
     # --- maintenance ---------------------------------------------------------
     def compact(self, min_files: int = 2) -> int: ...
+
+    def compact_deltas(self, min_layers: int = 2) -> int: ...

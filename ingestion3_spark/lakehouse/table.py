@@ -681,6 +681,65 @@ class LakeTable:
         )
         return len(frag)
 
+    def compact_deltas(self, min_layers: int = 2) -> int:
+        """Minor compaction: fold ALL live delta layers into ONE reconciled
+        delta layer per bucket WITHOUT rewriting any base file (the Iceberg
+        analog is rewriting delete/delta files, vs ``compact()``'s
+        rewrite_data_files).
+
+        Why it exists: the MOR reconciling read merges base + K delta
+        layers, so within a major-compaction window read cost grows with K
+        (measured — BENCH.md "Sustained multi-batch replay": 4.5s→17.2s
+        across one 8-batch window). ``compact()`` bounds K but rewrites
+        every touched base bucket — O(table) at 10^10 rows. Folding is
+        O(sum of deltas): resolve each key to its max-(__seq, __part)
+        change within the delta stack only, KEEPING delete tombstones —
+        the base still holds the masked row, so dropping the tombstone
+        would resurrect it (the same rule as Iceberg deletes surviving
+        until their data file is rewritten). The winner keeps its original
+        (__seq, __part), so ordering against the base (seq -1) and any
+        future delta layer stays exact. One exchange total: the reconcile
+        clusters on ``__bucket`` and the fanout writer reuses that
+        partitioning (same trick as ``_reconcile(bucket_aligned=True)``).
+
+        Returns the number of delta layers folded (0 = nothing to do).
+        """
+        delta_files = [e for e in self.live_files() if e.kind == "delta"]
+        layers = {e.batch_dir for e in delta_files}
+        if len(layers) < min_layers:
+            return 0
+        cur_fields = self.fields()
+        key = self.key_column
+        payload = [f.name for f in cur_fields if f.name != key]
+        allr = self._union_scan(
+            delta_files, cur_fields, extra=("__op", "__seq", "__part")
+        )
+        w = (
+            allr.repartition("__bucket")
+            .groupBy("__bucket", key)
+            .agg(
+                F.max_by(
+                    F.struct(*payload, "__op", "__seq", "__part"),
+                    F.struct("__seq", "__part"),
+                ).alias("__w")
+            )
+        )
+        folded = w.select(
+            key,
+            *[F.col(f"__w.{c}").alias(c) for c in payload],
+            F.col("__w.__op").alias("op"),
+            F.col("__w.__seq").alias("seq"),
+            F.col("__w.__part").alias("part"),
+        )
+        new_files = self.write_delta_files(folded, key_partitioned=True)
+        self.commit(
+            "replace-deltas",
+            add_files=new_files,
+            remove_paths={e.path for e in delta_files},
+            summary={"folded_layers": len(layers)},
+        )
+        return len(layers)
+
     def vacuum(self) -> int:
         """Delete data files not referenced by ANY snapshot manifest (orphans)."""
         referenced: set[str] = set()

@@ -90,6 +90,74 @@ def test_mor_compaction_folds_deltas(spark, tmp_table_path, tmp_path, fixtures):
     assert not diff_states(replay_oracle(base, both), _state(table))
 
 
+def test_mor_minor_compact_folds_delta_stack(spark, tmp_table_path, tmp_path, fixtures):
+    """compact_deltas() folds K delta layers into ONE without touching any
+    base file: read-equality before/after, base paths identical, exactly one
+    delta layer (one file per bucket — the fanout write reuses the fold's
+    bucket clustering), checkpoint carried forward, and further replay plus
+    a later major compact still match the dict-replay oracle."""
+    base, events = fixtures
+    table = _mor_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    eng.replay(_spark_df(spark, events), num_batches=3)
+    expected = _state(table)
+    ckpt = table.checkpoint()
+    base_paths = {e.path for e in table.live_files() if e.kind == "base"}
+    layers_before = {e.batch_dir for e in table.live_files() if e.kind == "delta"}
+    assert len(layers_before) >= 2
+
+    assert table.compact_deltas() == len(layers_before)
+    live = table.live_files()
+    assert {e.path for e in live if e.kind == "base"} == base_paths
+    deltas = [e for e in live if e.kind == "delta"]
+    assert len({e.batch_dir for e in deltas}) == 1
+    by_bucket = {}
+    for e in deltas:
+        by_bucket.setdefault(e.bucket, []).append(e)
+    assert all(len(es) == 1 for es in by_bucket.values())
+    assert table.checkpoint() == ckpt
+    assert table.current_snapshot.operation == "replace-deltas"
+    assert not diff_states(expected, _state(table))
+
+    # a second fold is a no-op (single layer left)
+    assert table.compact_deltas() == 0
+    # replay continues on the folded stack; major compact still exact
+    more = make_events(1000, n_base_docs=300, seed=9, n_parts=4, max_len=48,
+                       start_seq=200_000)
+    eng.replay(_spark_df(spark, more), num_batches=1)
+    both = pa.concat_tables([events, more])
+    assert not diff_states(replay_oracle(base, both), _state(table))
+    assert table.compact(min_files=2) > 0
+    assert not diff_states(replay_oracle(base, both), _state(table))
+
+
+def test_mor_minor_compact_keeps_tombstones(spark, tmp_table_path, tmp_path):
+    """A delete of a BASE row must survive the fold as a tombstone: the
+    base file still holds the old row, so dropping the delete during minor
+    compaction would resurrect it on the next read."""
+    base = make_corpus(20, seed=11, max_len=16)
+    table = _mor_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table)
+    import datetime as dt
+    rows = [
+        (1, 0, "delete", "doc-00000003", None, None, None),
+        (2, 0, "update", "doc-00000005", [7, 7], 2, "cc"),
+    ]
+    df = spark.createDataFrame(
+        [r + (dt.datetime(2026, 1, 1),) for r in rows],
+        "seq long, part int, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, ts timestamp",
+    )
+    eng.replay(df, num_batches=2)  # two delta layers
+    assert table.compact_deltas() == 2
+    folded = [e for e in table.live_files() if e.kind == "delta"]
+    assert folded  # the tombstone is still materialized as a delta row
+    state = _state(table)
+    assert "doc-00000003" not in state
+    assert list(state["doc-00000005"][0]) == [7, 7]
+    assert len(state) == 20 - 1
+
+
 def test_mor_insert_delete_insert_one_key(spark, tmp_table_path, tmp_path):
     table = _mor_table(spark, tmp_table_path)
     eng = ReplayEngine(spark, table)
@@ -144,9 +212,10 @@ def test_mor_resume_across_compaction(spark, tmp_table_path, tmp_path, fixtures)
     eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
     df = _spark_df(spark, events)
     eng.apply_batch(df.filter("seq <= 1500"), batch_id=0)
-    ckpt_before = table.checkpoint
+    ckpt_before = table.checkpoint()
+    assert ckpt_before  # non-trivial offsets applied before the crash
     assert table.compact(min_files=2) > 0
-    assert table.checkpoint == ckpt_before  # offsets survive the compact
+    assert table.checkpoint() == ckpt_before  # offsets survive the compact
 
     table2 = LakeTable.load(spark, tmp_table_path)
     eng2 = ReplayEngine(spark, table2, error_dir=str(tmp_path / "err"))
