@@ -1,7 +1,7 @@
 """Sustained multi-batch replay: does per-batch cost stay flat?
 
 Usage: python tools/sustained_bench.py <cores> <events_parquet> <n_base> \
-           <num_batches> <work_dir> [compact_every]
+           <num_batches> <work_dir> [compact_every] [minor_every]
 
 The north-rule metric is SUSTAINED upsert throughput at 10^10 events —
 i.e. thousands of micro-batches against one ever-growing table. A
@@ -12,6 +12,9 @@ batch's wall seconds plus first-half/second-half medians. In MOR mode
 (`I3S_MERGE_MODE=mor`) pass `compact_every` to fold delta layers on a
 cadence, timing compactions separately — the steady-state operating mode
 (delta writes O(delta); compaction amortized over the cadence).
+`minor_every` additionally runs compact_deltas() (fold the delta stack
+WITHOUT rewriting base — O(deltas)) on a tighter cadence, bounding the
+within-window read amplification at a fraction of major-compact cost.
 
 Prints one JSON line:
   {"mode": .., "batches": [s..], "compactions": [s..],
@@ -44,6 +47,7 @@ def main() -> int:
     num_batches = int(sys.argv[4])
     work = sys.argv[5]
     compact_every = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    minor_every = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     mode = os.environ.get("I3S_MERGE_MODE", "cow")
 
     spark = get_spark(
@@ -90,6 +94,7 @@ def main() -> int:
 
     batch_s: list[float] = []
     compact_s: list[float] = []
+    minor_s: list[float] = []
     for b in range(num_batches):
         b_lo = lo + b * step
         if b_lo > hi:
@@ -102,13 +107,17 @@ def main() -> int:
             t0 = time.perf_counter()
             table.compact(min_files=2)
             compact_s.append(round(time.perf_counter() - t0, 3))
+        elif minor_every and (b + 1) % minor_every == 0:
+            t0 = time.perf_counter()
+            table.compact_deltas()
+            minor_s.append(round(time.perf_counter() - t0, 3))
         print(f"[sustained] batch={b} {batch_s[-1]}s", flush=True)
 
     half = len(batch_s) // 2
     # skip batch 0 in the first half: it carries JIT/page-cache warmup
     first = statistics.median(batch_s[1:half] or batch_s[:half])
     second = statistics.median(batch_s[half:])
-    total = sum(batch_s) + sum(compact_s)
+    total = sum(batch_s) + sum(compact_s) + sum(minor_s)
     rows_final = table.read().count()
     print(json.dumps({
         "mode": mode,
@@ -118,6 +127,8 @@ def main() -> int:
         "batches": batch_s,
         "compactions": compact_s,
         "compact_every": compact_every,
+        "minor_compactions": minor_s,
+        "minor_every": minor_every,
         "first_half_median": round(first, 3),
         "second_half_median": round(second, 3),
         "ratio_second_over_first": round(second / first, 3),
