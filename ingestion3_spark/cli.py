@@ -10,7 +10,7 @@ Commands:
   replay   --feed feed.parquet --table DIR [--err-dir DIR] [--batches N]
   stream   --feed-dir DIR --table DIR --checkpoint DIR [--err-dir DIR]
   evolve   --table DIR (--add name:type | --rename old:new | --widen name:type)
-  compact  --table DIR [--min-files N]
+  compact  --table DIR [--min-files N] [--minor]
   report   --table DIR
 
 Exit codes: 0 ok; 2 bad args. A replay failure raises — the scheduler
@@ -115,6 +115,12 @@ def cmd_compact(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
+    if args.minor:
+        # minor: fold the MOR delta stack only (O(deltas), base untouched)
+        folded = table.compact_deltas(min_layers=args.min_files)
+        removed = table.vacuum()
+        print(json.dumps({"folded_layers": folded, "vacuumed_files": removed}))
+        return 0
     n = table.compact(min_files=args.min_files)
     removed = table.vacuum()
     print(json.dumps({"compacted_buckets": n, "vacuumed_files": removed}))
@@ -186,6 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="bin-pack small files + vacuum")
     c.add_argument("--table", required=True)
     c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--minor", action="store_true",
+                   help="fold MOR delta layers only (no base rewrite)")
     c.set_defaults(fn=cmd_compact)
 
     rep = sub.add_parser("report", help="table state + ops-log summary")

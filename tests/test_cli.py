@@ -44,6 +44,19 @@ def test_cli_generate_replay_report_compact(tmp_path):
     assert "compacted_buckets" in comp[0]
 
 
+def test_cli_minor_compact_mor(tmp_path):
+    feed = str(tmp_path / "feed.parquet")
+    table = str(tmp_path / "tbl")
+    _run("generate", "--out", feed, "--events", "3000", "--seed", "13")
+    rep = _run("replay", "--feed", feed, "--table", table, "--buckets", "4",
+               "--batches", "3", "--merge-mode", "mor")
+    rows = rep[-1]["rows"]
+    comp = _run("compact", "--table", table, "--minor")
+    assert comp[0]["folded_layers"] >= 2
+    # folded stack reads identically through the same CLI surface
+    assert _run("report", "--table", table)[0]["rows"] == rows
+
+
 def test_cli_evolve(tmp_path):
     feed = str(tmp_path / "feed.parquet")
     table = str(tmp_path / "tbl")
