@@ -49,6 +49,14 @@ SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 MOR_BENCH = os.environ.get("SPARK_GRAFT_MOR_BENCH", "1") == "1"
 MOR_EVENTS = int(os.environ.get("SPARK_GRAFT_MOR_EVENTS", "1000000"))
 MOR_BASE = int(os.environ.get("SPARK_GRAFT_MOR_BASE", "4000000"))
+# Sustained: the metric says SUSTAINED throughput, so also evidence that
+# per-batch cost does NOT creep with snapshot count / delta layering —
+# one feed replayed as 16 micro-batches into ONE growing table (MOR,
+# minor delta-folds every 4 batches, major at 16 — the measured-best
+# cadence, BENCH.md "Sustained multi-batch replay").
+SUSTAINED = os.environ.get("SPARK_GRAFT_SUSTAINED", "1") == "1"
+SUSTAINED_EVENTS = int(os.environ.get("SPARK_GRAFT_SUSTAINED_EVENTS", "2000000"))
+SUSTAINED_BASE = int(os.environ.get("SPARK_GRAFT_SUSTAINED_BASE", "500000"))
 # tmpfs by default: the sandbox's single virtio disk saturates at ~8 cores
 # and hides CPU scaling; a real cluster has NVMe/distributed storage.
 WORK = os.environ.get(
@@ -461,6 +469,23 @@ def main() -> int:
             ),
             "rounds": sm_rounds,
         }
+
+    if SUSTAINED:
+        feed_su = ensure_feed(WORK, SUSTAINED_EVENTS, SUSTAINED_BASE)
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "sustained_bench.py"),
+             str(CPUS), feed_su, str(SUSTAINED_BASE), "16",
+             os.path.join(WORK, "sustained"), "16", "4"],
+            capture_output=True, text=True,
+            env={**os.environ, "I3S_MERGE_MODE": "mor"},
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if lines:
+            cdc["sustained"] = json.loads(lines[-1])
+        else:  # disclose rather than fail the whole bench
+            cdc["sustained"] = {"error": (proc.stderr or "no output")[-500:]}
 
     print(json.dumps({
         "metric": "change_events_per_sec",
