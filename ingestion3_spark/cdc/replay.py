@@ -477,6 +477,8 @@ class ReplayEngine:
         events: DataFrame,
         num_batches: int = 1,
         batch_id_start: int | None = None,
+        minor_every: int = 0,
+        compact_every: int = 0,
     ) -> list[BatchStats]:
         """Split the feed into seq-range micro-batches and apply in order.
 
@@ -484,6 +486,16 @@ class ReplayEngine:
         ``num_batches=1`` this is one atomic replay (and the boundary scan
         is skipped entirely); larger values exercise multi-batch
         checkpoint/resume.
+
+        ``minor_every``/``compact_every`` run table maintenance on a
+        batch cadence inside the replay loop — at 10^10 events a replay
+        IS thousands of micro-batches, and without folds the MOR
+        reconcile read degrades linearly in accumulated delta layers
+        (measured: BENCH.md "Sustained multi-batch replay"; folding every
+        4 batches inside a 16-batch major window was 1.66x end-to-end).
+        A major compact wins any batch where both cadences land. Each
+        maintenance commit carries the checkpoint forward, so a crash
+        between a batch and its fold resumes exactly-once as usual.
         """
         if num_batches <= 1:
             bid = batch_id_start if batch_id_start is not None else self._next_batch_id()
@@ -503,6 +515,10 @@ class ReplayEngine:
             chunk = events.filter((F.col("seq") >= b_lo) & (F.col("seq") <= b_hi))
             out.append(self.apply_batch(chunk, batch_id=bid))
             bid += 1
+            if compact_every and (b + 1) % compact_every == 0:
+                self.table.compact(min_files=2)
+            elif minor_every and (b + 1) % minor_every == 0:
+                self.table.compact_deltas()
         return out
 
     def check_compat(self, events: DataFrame) -> None:

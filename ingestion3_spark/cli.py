@@ -8,6 +8,7 @@ or  python -m ingestion3_spark.cli <cmd> ...   (local[*])
 Commands:
   generate --out feed.parquet --events N [--base-docs N] [--seed S] [--skew]
   replay   --feed feed.parquet --table DIR [--err-dir DIR] [--batches N]
+           [--minor-every K] [--compact-every K]
   stream   --feed-dir DIR --table DIR --checkpoint DIR [--err-dir DIR]
   evolve   --table DIR (--add name:type | --rename old:new | --widen name:type)
   compact  --table DIR [--min-files N] [--minor]
@@ -64,7 +65,9 @@ def cmd_replay(args) -> int:
     spark = _spark(args)
     table = _load_or_create(spark, args.table, args.buckets, args.merge_mode)
     eng = ReplayEngine(spark, table, error_dir=args.err_dir)
-    stats = eng.replay(spark.read.parquet(args.feed), num_batches=args.batches)
+    stats = eng.replay(spark.read.parquet(args.feed), num_batches=args.batches,
+                       minor_every=args.minor_every,
+                       compact_every=args.compact_every)
     for s in stats:
         print(json.dumps(s.as_dict()))
     print(json.dumps({"rows": table.read().count(), "checkpoint": table.checkpoint()}))
@@ -169,6 +172,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--buckets", type=int, default=16)
     r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                    help="cow: rewrite touched buckets; mor: append delta files")
+    r.add_argument("--minor-every", type=int, default=0,
+                   help="fold MOR delta layers every K batches (0=off)")
+    r.add_argument("--compact-every", type=int, default=0,
+                   help="major compact every K batches (0=off)")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="streaming replay of a file-drop feed dir")

@@ -131,6 +131,26 @@ def test_mor_minor_compact_folds_delta_stack(spark, tmp_table_path, tmp_path, fi
     assert not diff_states(replay_oracle(base, both), _state(table))
 
 
+def test_mor_replay_with_maintenance_cadence(spark, tmp_table_path, tmp_path, fixtures):
+    """replay(minor_every=2, compact_every=4) runs folds inside the loop:
+    final state still matches the dict-replay oracle, the layer count is
+    bounded by the cadence, and the checkpoint survives every maintenance
+    commit (exactly-once on a full redelivery)."""
+    base, events = fixtures
+    table = _mor_table(spark, tmp_table_path, base)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    eng.replay(_spark_df(spark, events), num_batches=4, minor_every=2,
+               compact_every=4)
+    assert not diff_states(replay_oracle(base, events), _state(table))
+    # batch 4 ended on the major cadence: fully folded back to base
+    assert all(e.kind == "base" for e in table.live_files())
+    ops = [s.operation for s in table.snapshots()]
+    assert "replace-deltas" in ops and "replace" in ops
+    # redelivery after maintenance commits is still a no-op
+    stats = eng.replay(_spark_df(spark, events), num_batches=2)
+    assert all(s.changes == 0 for s in stats)
+
+
 def test_mor_minor_compact_keeps_tombstones(spark, tmp_table_path, tmp_path):
     """A delete of a BASE row must survive the fold as a tombstone: the
     base file still holds the old row, so dropping the delete during minor
