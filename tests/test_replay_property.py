@@ -68,8 +68,12 @@ def _feed(events) -> pa.Table:
     st.lists(event_st, min_size=1, max_size=24),
     st.integers(1, 3),
     st.sampled_from(["cow", "mor"]),
+    st.integers(0, 2),  # minor_every: random in-loop delta folds (0=off)
+    st.integers(0, 3),  # compact_every: random in-loop major compacts
 )
-def test_random_feed_matches_oracle(spark, tmp_path_factory, events, n_batches, mode):
+def test_random_feed_matches_oracle(
+    spark, tmp_path_factory, events, n_batches, mode, minor_every, compact_every
+):
     tmp = tmp_path_factory.mktemp("prop")
     feed = _feed(events)
     table = ReplayEngine.create_table(
@@ -77,7 +81,8 @@ def test_random_feed_matches_oracle(spark, tmp_path_factory, events, n_batches, 
     )
     eng = ReplayEngine(spark, table, error_dir=str(tmp / "err"))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    eng.replay(spark.createDataFrame(feed.to_pandas()), num_batches=n_batches)
+    eng.replay(spark.createDataFrame(feed.to_pandas()), num_batches=n_batches,
+               minor_every=minor_every, compact_every=compact_every)
     expected = replay_oracle(None, feed)
     actual = table_state([r.asDict() for r in table.read().collect()])
     assert not diff_states(expected, actual)
