@@ -25,11 +25,45 @@ MAX_LEN_DEFAULT = 512  # keep unit fixtures small; bench overrides
 
 
 def _tokens_arrays(rng: np.random.Generator, n: int, max_len: int):
-    """(lens:int64[n], list_array builder inputs) fully vectorized."""
+    """(lens:int64[n], flat:int32[sum lens]) fully vectorized."""
     lens = rng.integers(1, max_len + 1, size=n).astype(np.int64)
     flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
-    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-    return lens, offsets, flat
+    return lens, flat
+
+
+# int32 ListArray offset ceiling; module-level so tests can shrink it to
+# exercise the multi-chunk path without building 2^31 tokens
+_LIST_OFFSET_CAP = (1 << 31) - 1
+
+
+def _tokens_list_array(
+    lens: np.ndarray, flat: np.ndarray, mask: np.ndarray | None = None
+) -> pa.ChunkedArray:
+    """``list<int32>`` column from per-row lengths, CHUNKED so each chunk's
+    flat token count stays below the int32 ListArray offset ceiling
+    (2^31 - 1). One monolithic ListArray overflows its int32 offsets at
+    ~33M rows x 64 avg tokens — observed as "Negative offsets in list
+    array" generating a 50M-event feed — so 10^8-order fixtures require
+    the chunked construction."""
+    cap = _LIST_OFFSET_CAP
+    csum = np.cumsum(lens)
+    n = len(lens)
+    chunks: list[pa.Array] = []
+    row0, flat0 = 0, 0
+    while row0 < n:
+        row1 = max(int(np.searchsorted(csum, flat0 + cap, side="right")), row0 + 1)
+        local = lens[row0:row1]
+        offsets = np.concatenate([[0], np.cumsum(local)]).astype(np.int32)
+        flat1 = flat0 + int(local.sum())
+        chunks.append(
+            pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(flat[flat0:flat1]),
+                mask=pa.array(mask[row0:row1]) if mask is not None else None,
+            )
+        )
+        row0, flat0 = row1, flat1
+    return pa.chunked_array(chunks)
 
 
 def _doc_id_array(idx: np.ndarray) -> pa.Array:
@@ -41,12 +75,12 @@ def _doc_id_array(idx: np.ndarray) -> pa.Array:
 def make_corpus(n_docs: int, seed: int = 42, max_len: int = MAX_LEN_DEFAULT) -> pa.Table:
     """Base table ``(doc_id, tokens, n_tok, source)``; doc-{i:08d} keys."""
     rng = np.random.default_rng(seed)
-    lens, offsets, flat = _tokens_arrays(rng, n_docs, max_len)
+    lens, flat = _tokens_arrays(rng, n_docs, max_len)
     src = rng.choice(len(SOURCES), size=n_docs)
     return pa.table(
         {
             "doc_id": _doc_id_array(np.arange(n_docs, dtype=np.int64)),
-            "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            "tokens": _tokens_list_array(lens, flat),
             "n_tok": pa.array(lens.astype(np.int32)),
             "source": pa.array(np.array(SOURCES)[src]),
         }
@@ -103,7 +137,7 @@ def make_events(
     # seq) globally unique.
     seqs = np.arange(start_seq, start_seq + n_events, dtype=np.int64)
 
-    lens, offsets, flat = _tokens_arrays(rng, n_events, max_len)
+    lens, flat = _tokens_arrays(rng, n_events, max_len)
     nulls = rng.random(n_events) < null_tokens_rate
     bad_ntok = rng.random(n_events) < bad_ntok_rate
     src = rng.choice(len(SOURCES), size=n_events)
@@ -112,9 +146,7 @@ def make_events(
     ntok = lens.astype(np.int64) + np.where(bad_ntok, rng.integers(1, 7, size=n_events), 0)
     op_names = np.array(["insert", "update", "delete"])
 
-    tokens_arr = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(flat), mask=pa.array(payload_null)
-    )
+    tokens_arr = _tokens_list_array(lens, flat, mask=payload_null)
     base_ts = np.int64(1_700_000_000) * 1_000_000
     tbl = pa.table(
         {
