@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SOURCES = ["cc", "books", "code", "wiki", "synth"]
 VOCAB = 50257
@@ -70,6 +71,47 @@ def _doc_id_array(idx: np.ndarray) -> pa.Array:
     """Vectorized 'doc-%08d' formatting via numpy char ops."""
     # zfill(8) == f"doc-{i:08d}" (longer ids pass through unpadded)
     return pa.array(np.char.add("doc-", np.char.zfill(idx.astype(np.uint64).astype("U20"), 8)))
+
+
+def _take_rows(tbl: pa.Table, indices: np.ndarray) -> pa.Table:
+    """Row-gather that survives >2^31 flat tokens.
+
+    Arrow's ``Table.take`` concatenates each column's chunks for random
+    access, so on a 10^8-order feed the tokens column overflows its int32
+    list offsets ("offset overflow while concatenating arrays") even when
+    the column itself is safely chunked. Below the ceiling this IS
+    ``tbl.take`` (bit-identical output); above it, gather the tokens
+    through ``large_list`` (int64 offsets), then re-chunk the result back
+    under the int32 ceiling. (The doc_id string column has the same kind
+    of ceiling at 2^31 BYTES ≈ 170M rows — beyond today's fixture sizes.)
+    """
+    idx = pa.array(indices)
+    tok = tbl.column("tokens")
+    if sum(len(c.values) for c in tok.chunks) < _LIST_OFFSET_CAP:
+        return tbl.take(idx)
+    others = tbl.drop_columns(["tokens"]).take(idx)
+    big = pa.chunked_array(
+        [c.cast(pa.large_list(pa.int32())) for c in tok.chunks]
+    ).take(idx).combine_chunks()
+    lens = pc.list_value_length(big).fill_null(0).to_numpy(zero_copy_only=False)
+    csum = np.cumsum(lens.astype(np.int64))
+    chunks: list[pa.Array] = []
+    row0, flat0 = 0, 0
+    n = len(lens)
+    while row0 < n:
+        row1 = max(
+            int(np.searchsorted(csum, flat0 + _LIST_OFFSET_CAP, side="right")),
+            row0 + 1,
+        )
+        chunks.append(big.slice(row0, row1 - row0).cast(pa.list_(pa.int32())))
+        flat0 = int(csum[row1 - 1])
+        row0 = row1
+    out = others.add_column(
+        tbl.schema.get_field_index("tokens"),
+        tbl.schema.field("tokens"),
+        pa.chunked_array(chunks),
+    )
+    return out
 
 
 def make_corpus(n_docs: int, seed: int = 42, max_len: int = MAX_LEN_DEFAULT) -> pa.Table:
@@ -166,11 +208,11 @@ def make_events(
     n_dup = int(n_events * dup_rate)
     if n_dup:
         idx = rng.integers(0, n_events, size=n_dup)
-        tbl = pa.concat_tables([tbl, tbl.take(pa.array(idx))])
+        tbl = pa.concat_tables([tbl, _take_rows(tbl, idx)])
 
     if shuffle:
         order = rng.permutation(tbl.num_rows)
-        tbl = tbl.take(pa.array(order))
+        tbl = _take_rows(tbl, order)
     return tbl
 
 

@@ -50,6 +50,16 @@ def test_make_events_deterministic_and_chunk_invariant(monkeypatch):
     assert sa.combine_chunks().equals(sb_cap.combine_chunks())
 
 
+def test_take_rows_large_list_path_bit_identical(monkeypatch):
+    """Above the offset ceiling the dup/shuffle gathers route tokens
+    through large_list and re-chunk — output must equal the plain-take
+    path exactly (masks, dups, and permutation order included)."""
+    a = g.make_events(5000, n_base_docs=100, seed=33, n_parts=4, max_len=16)
+    monkeypatch.setattr(g, "_LIST_OFFSET_CAP", 2000)
+    b = g.make_events(5000, n_base_docs=100, seed=33, n_parts=4, max_len=16)
+    assert a.combine_chunks().equals(b.combine_chunks())
+
+
 def test_make_corpus_chunk_invariant(monkeypatch):
     a = g.make_corpus(500, seed=8, max_len=12)
     monkeypatch.setattr(g, "_LIST_OFFSET_CAP", 300)
