@@ -93,18 +93,29 @@ def _take_rows(tbl: pa.Table, indices: np.ndarray) -> pa.Table:
     big = pa.chunked_array(
         [c.cast(pa.large_list(pa.int32())) for c in tok.chunks]
     ).take(idx).combine_chunks()
-    lens = pc.list_value_length(big).fill_null(0).to_numpy(zero_copy_only=False)
-    csum = np.cumsum(lens.astype(np.int64))
+    # rebuild list<int32> chunks from RELATIVE offsets: casting (even a
+    # slice) validates the child buffer's absolute extent against int32,
+    # so any view over a >2^31-value child is rejected wholesale
+    off = big.offsets.to_numpy().astype(np.int64)
+    vals = big.values
+    nulls = pc.is_null(big).to_numpy(zero_copy_only=False)
+    csum = off[1:]  # cumulative physical extent per row
     chunks: list[pa.Array] = []
-    row0, flat0 = 0, 0
-    n = len(lens)
+    row0 = 0
+    n = len(big)
     while row0 < n:
         row1 = max(
-            int(np.searchsorted(csum, flat0 + _LIST_OFFSET_CAP, side="right")),
+            int(np.searchsorted(csum, off[row0] + _LIST_OFFSET_CAP, side="right")),
             row0 + 1,
         )
-        chunks.append(big.slice(row0, row1 - row0).cast(pa.list_(pa.int32())))
-        flat0 = int(csum[row1 - 1])
+        rel = (off[row0 : row1 + 1] - off[row0]).astype(np.int32)
+        chunks.append(
+            pa.ListArray.from_arrays(
+                pa.array(rel),
+                vals.slice(int(off[row0]), int(off[row1] - off[row0])),
+                mask=pa.array(nulls[row0:row1]),
+            )
+        )
         row0 = row1
     out = others.add_column(
         tbl.schema.get_field_index("tokens"),
