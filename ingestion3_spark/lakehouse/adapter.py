@@ -18,6 +18,10 @@ Member                    Iceberg binding
                           (bucket(N, doc_id))`` / catalog ``loadTable``;
                           ``merge_mode`` -> table property
                           ``write.merge.mode = copy-on-write|merge-on-read``.
+``spark``                 the bound SparkSession — an Iceberg adapter holds
+                          the session whose catalog the table is registered
+                          on (used only as a fallback to build tiny
+                          driver-side frames, e.g. the lineage report).
 ``key_column``            table property (e.g. ``cdc.key-column``); Iceberg
 ``merge_mode``            ``write.merge.mode``; ``num_buckets`` from the
 ``num_buckets``           partition spec's bucket transform.
@@ -42,6 +46,17 @@ Member                    Iceberg binding
                           reconciliation is Iceberg's own positional/
                           equality-delete read path — the engine's
                           _reconcile aggregate disappears.
+``live_keys``             the same snapshot scan projected to the key
+                          column only (column pruning reaches the parquet
+                          footer, token arrays never decode) — used by the
+                          merge's insert-vs-update classification.
+``live_files``            the ``.files`` metadata table (per-file bucket /
+                          row-count / content kind); used for bucket-level
+                          pruning decisions and lineage row counts.
+``write_delta_files``     the MOR half of MERGE: Iceberg writes equality/
+                          position delete files + new data files instead of
+                          rewriting touched data files — the engine's
+                          explicit delta layer maps onto that path.
 ``write_files``+``commit``  a single ``MERGE INTO t USING changes ON
                           t.key = changes.key WHEN MATCHED [AND op =
                           'delete'] THEN DELETE / UPDATE SET * WHEN NOT
@@ -73,7 +88,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING, Protocol, runtime_checkable
 
 if TYPE_CHECKING:
-    from pyspark.sql import Column, DataFrame
+    from pyspark.sql import Column, DataFrame, SparkSession
 
     from ingestion3_spark.lakehouse.table import FileEntry, Snapshot
 
@@ -84,6 +99,9 @@ class TableAdapter(Protocol):
     Iceberg binding of each member)."""
 
     # --- identity / layout -------------------------------------------------
+    @property
+    def spark(self) -> "SparkSession": ...
+
     @property
     def key_column(self) -> str: ...
 
@@ -109,8 +127,18 @@ class TableAdapter(Protocol):
         buckets: set[int] | None = None,
     ) -> "DataFrame": ...
 
+    def live_keys(self, buckets: set[int] | None = None) -> "DataFrame": ...
+
+    def live_files(
+        self, snapshot_id: int | None = None
+    ) -> list["FileEntry"]: ...
+
     # --- write + atomic commit ----------------------------------------------
     def write_files(self, df: "DataFrame", **kwargs) -> list["FileEntry"]: ...
+
+    def write_delta_files(
+        self, df: "DataFrame", **kwargs
+    ) -> list["FileEntry"]: ...
 
     def commit(self, operation: str, **kwargs) -> "Snapshot": ...
 

@@ -113,7 +113,41 @@ def test_laketable_satisfies_adapter_protocol(spark, tmp_table_path):
     # every Protocol member resolves on the instance
     for member in (
         "key_column", "merge_mode", "num_buckets", "column_names",
-        "bucket_expr", "checkpoint", "snapshots", "read", "write_files",
-        "commit", "add_column", "rename_column", "widen_column", "compact",
+        "bucket_expr", "checkpoint", "snapshots", "read", "live_keys",
+        "live_files", "write_files", "write_delta_files", "commit",
+        "add_column", "rename_column", "widen_column", "compact",
+        "compact_deltas",
     ):
         assert hasattr(t, member), member
+
+
+def test_engine_table_usage_is_within_adapter_contract():
+    """Contract completeness, statically: every attribute the engine
+    dereferences on its table (``self.table.X`` in ReplayEngine, bare
+    ``table.X`` in cdc/merge's free functions) must be DECLARED on the
+    TableAdapter Protocol. Without this, the seam claim rots silently —
+    the engine can grow a dependency on a LakeTable-only member and the
+    isinstance check above keeps passing (round-4 finding: live_files /
+    live_keys / write_delta_files were used but undeclared)."""
+    import ast
+    import inspect
+
+    from ingestion3_spark.cdc import merge, replay
+    from ingestion3_spark.lakehouse.adapter import TableAdapter
+
+    declared = set(dir(TableAdapter))
+    used: set[str] = set()
+    for mod in (replay, merge):
+        for node in ast.walk(ast.parse(inspect.getsource(mod))):
+            if not isinstance(node, ast.Attribute):
+                continue
+            v = node.value
+            if (
+                isinstance(v, ast.Attribute)
+                and v.attr == "table"
+                and isinstance(v.value, ast.Name)
+                and v.value.id == "self"
+            ) or (isinstance(v, ast.Name) and v.id == "table"):
+                used.add(node.attr)
+    missing = sorted(used - declared)
+    assert not missing, f"engine uses undeclared table members: {missing}"
