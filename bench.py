@@ -1,32 +1,40 @@
-"""Benchmark harness.
+"""Benchmark harness (budget-aware).
 
 Part A — headline analytic queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each timed to a noop
-sink (no collect cost).
+sink (no collect cost); per-query MEDIAN over interleaved passes.
 
 Part B — CDC replay throughput: a seeded synthetic feed replayed into a
 fresh LakeTable, at TWO parallelism levels (N=CPUS/4 and 4N=CPUS cores,
 fresh JVM each via subprocess) to evidence the north_rule scaling
 criterion: efficiency = thr_4N / (4 * thr_N). Each paired round runs BOTH
-merge modes inside the same host-drift window. COW is the headline (on
-the delta>>base bench feed it is both the throughput mode AND the more
-window-robust scaler: raw medians 0.627/0.688 across the two round-4
-protocol runs vs MOR's 0.587/0.475 — one throttled 4N window craters
-MOR's median because its timed fold is longer); MOR — delta-file writes
-plus one timed compaction to the same folded end state, the 10^10
-delta<<base representative — is measured in the SAME windows and fully
-disclosed in cdc.modes. "value" carries the best mode's 4N rate
+merge modes inside the same host-drift window (COW = delta>>base
+throughput mode; MOR + timed compaction = the 10^10 delta<<base
+representative). "value" carries the best mode's 4N rate
 (`cdc.value_mode` names it; SPARK_GRAFT_SCALING_MODES to change).
 
-Prints ONE JSON line:
+WALL-CLOCK BUDGET (round-5 change — BENCH_r04 was killed by the driver's
+timeout with zero parsed output): the whole run fits inside
+$SPARK_GRAFT_BUDGET_SECONDS (default 3000). Work is ordered by evidential
+priority — Part A pass 1, two dual-mode scaling rounds, remaining query
+passes, mor_small_delta, sustained, extras — and before each unit the
+harness checks measured-cost-so-far against the remaining budget and
+skips-and-discloses (``skipped``) whatever does not fit. A cumulative
+JSON checkpoint line is printed after every section and SIGTERM/SIGINT
+flush the final line too, so even a hard timeout leaves a parseable
+result on stdout.
+
+Prints ONE JSON line (the LAST line of stdout; earlier checkpoint lines
+carry "partial": true):
 {"metric": "change_events_per_sec", "value": thr_4N, "unit": "events/sec",
- "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+ "queries": {name: sec, ...}, "sf": ..., "cdc": {...}, "skipped": [...]}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import statistics
 import subprocess
 import sys
@@ -40,10 +48,14 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
 CDC_BASE = int(os.environ.get("SPARK_GRAFT_CDC_BASE", "500000"))
 CDC_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 CDC_REPS = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
-# 3 dual-mode rounds = 12 replay subprocesses (~55 min with warmups);
-# an odd round count also makes the per-round median a true middle
-# sample — one throttled round cannot touch it
+# dual-mode rounds to ATTEMPT; the budget gate decides how many actually
+# run (>=2 is the protocol minimum the verdicts ask for; a 3rd runs only
+# when it fits)
 SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+# equal-wall-time warmup per replay subprocess (host CPU ramp, BENCH.md);
+# 60s covers most of the ramp at half the round-4 cost (90s x 12
+# subprocesses was 18 min of warmup alone — a third of the whole budget)
+WARM_SECONDS = os.environ.get("SPARK_GRAFT_WARM_SECONDS", "60")
 # MOR evidence row: small delta over a large base — the 10^10-scale design
 # point where O(delta) delta-file writes beat COW's touched-bucket rewrite
 MOR_BENCH = os.environ.get("SPARK_GRAFT_MOR_BENCH", "1") == "1"
@@ -55,8 +67,11 @@ MOR_BASE = int(os.environ.get("SPARK_GRAFT_MOR_BASE", "4000000"))
 # minor delta-folds every 4 batches, major at 16 — the measured-best
 # cadence, BENCH.md "Sustained multi-batch replay").
 SUSTAINED = os.environ.get("SPARK_GRAFT_SUSTAINED", "1") == "1"
-SUSTAINED_EVENTS = int(os.environ.get("SPARK_GRAFT_SUSTAINED_EVENTS", "2000000"))
-SUSTAINED_BASE = int(os.environ.get("SPARK_GRAFT_SUSTAINED_BASE", "500000"))
+SUSTAINED_EVENTS = int(os.environ.get("SPARK_GRAFT_SUSTAINED_EVENTS", "1000000"))
+SUSTAINED_BASE = int(os.environ.get("SPARK_GRAFT_SUSTAINED_BASE", "250000"))
+# total wall budget; sized so the default run finishes with margin under
+# the driver's (unknown but >= the ~65-min round-3 run) timeout
+BUDGET = float(os.environ.get("SPARK_GRAFT_BUDGET_SECONDS", "3000"))
 # tmpfs by default: the sandbox's single virtio disk saturates at ~8 cores
 # and hides CPU scaling; a real cluster has NVMe/distributed storage.
 WORK = os.environ.get(
@@ -88,6 +103,72 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+QUERY_PASSES = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
+
+# ---------------------------------------------------------------------------
+# budget + incremental-result machinery
+
+_T0 = time.monotonic()
+# cumulative result state; emit() serializes whatever is here so a kill at
+# ANY point still leaves the most recent checkpoint parseable on stdout
+STATE: dict = {
+    "times": {},          # query name -> median seconds
+    "query_reps": {},     # query name -> every raw sample
+    "cdc": None,
+    "skipped": [],
+}
+
+
+def left() -> float:
+    return BUDGET - (time.monotonic() - _T0)
+
+
+def fits(cost_estimate: float, margin: float = 1.25, reserve: float = 60.0) -> bool:
+    """True when a unit with measured/estimated cost fits the remaining
+    budget with safety margin plus a reserve for emitting the result."""
+    return left() > cost_estimate * margin + reserve
+
+
+def skip(name: str, cost_estimate: float) -> None:
+    STATE["skipped"].append(
+        {"section": name, "est_seconds": round(cost_estimate, 1),
+         "budget_left": round(left(), 1)}
+    )
+
+
+def emit(partial: bool) -> None:
+    cdc = STATE["cdc"] or {}
+    value = cdc.get("value_thr_4N", cdc.get("thr_4N"))
+    doc = {
+        "metric": "change_events_per_sec",
+        "value": value,
+        "unit": "events/sec",
+        "queries": STATE["times"],   # per-query MEDIAN over interleaved passes
+        "query_reps": STATE["query_reps"],  # every raw sample, disclosed
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cdc": cdc,
+        "budget_seconds": BUDGET,
+        "elapsed_seconds": round(time.monotonic() - _T0, 1),
+        "skipped": STATE["skipped"],
+    }
+    if partial:
+        doc["partial"] = True
+    # leading newline: guarantees the JSON starts at column 0 even if some
+    # earlier writer left the stream mid-line (the BENCH_r02/r03 failure)
+    sys.stdout.write("\n" + json.dumps(doc) + "\n")
+    sys.stdout.flush()
+
+
+def _on_term(signum, frame):  # pragma: no cover - exercised by the driver
+    STATE["skipped"].append({"section": f"signal:{signum}",
+                             "budget_left": round(left(), 1)})
+    emit(partial=True)
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
 
 def ensure_feed(path: str, n_events: int, n_base: int) -> str:
     from ingestion3_spark.cdc.generator import make_events, write_fixture
@@ -102,11 +183,19 @@ def ensure_feed(path: str, n_events: int, n_base: int) -> str:
     return feed
 
 
-QUERY_PASSES = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
+# ---------------------------------------------------------------------------
+# Part A
 
 
-def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
-    """Per-query MEDIAN over interleaved passes.
+def _median(xs):
+    s = sorted(xs)
+    k = len(s)
+    return s[k // 2] if k % 2 else round((s[k // 2 - 1] + s[k // 2]) / 2, 3)
+
+
+def run_query_passes(n_passes: int) -> float:
+    """Run ``n_passes`` full interleaved passes over HEADLINE, appending
+    samples to STATE; returns the wall cost of ONE pass (for gating).
 
     This host's effective CPU speed drifts 2-4x over minutes, so a single
     sample per query is a lottery (round-3: the same kernel sweep measured
@@ -128,8 +217,12 @@ def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
     QUERIES["doc_fingerprint"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
-    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(max(QUERY_PASSES, 1)):
+    reps = STATE["query_reps"]
+    for name in HEADLINE:
+        reps.setdefault(name, [])
+    pass_cost = 0.0
+    for i in range(n_passes):
+        t_pass = time.perf_counter()
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
@@ -139,15 +232,20 @@ def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
             # self-joins; release them so later queries are not charged
             # for leaked storage
             spark.catalog.clearCache()
+        pass_cost = time.perf_counter() - t_pass
+        STATE["times"] = {n: _median(r) for n, r in reps.items() if r}
+        # gate passes after the first using the measured pass cost; keep a
+        # 900s reserve so Part A can never starve the first scaling round
+        # (which produces the headline `value`)
+        if i + 1 < n_passes and not fits(pass_cost, reserve=900.0):
+            skip(f"query_pass_{i + 2}+", pass_cost)
+            break
     spark.stop()
+    return pass_cost
 
-    def med(xs):
-        s = sorted(xs)
-        k = len(s)
-        return s[k // 2] if k % 2 else round((s[k // 2 - 1] + s[k // 2]) / 2, 3)
 
-    return {name: med(r) for name, r in reps.items()}, reps
-
+# ---------------------------------------------------------------------------
+# Part B
 
 _SPIN = (
     "import time\n"
@@ -187,6 +285,7 @@ def run_replay(
     env_extra: dict | None = None,
 ) -> dict:
     env = dict(os.environ)
+    env.setdefault("I3S_WARM_SECONDS", WARM_SECONDS)
     env.update(env_extra or {})
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -199,208 +298,204 @@ def run_replay(
     return json.loads(last)
 
 
-def run_ceiling(cores: int, feed: str) -> dict:
-    """Host parallel-ceiling job (tools/ceiling_bench.py): same scan +
-    validation expressions + parquet write volume as the replay but
-    embarrassingly parallel (no shuffle/joins/driver coordination). Its
-    N->4N speedup is what perfect scaling looks like for this
-    byte/instruction mix on this host."""
-    out = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                      "tools", "ceiling_bench.py"),
-         str(cores), feed, WORK],
-        capture_output=True, text=True, check=True,
-    )
-    last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(last)
+def dual_mode_round(n: int, feed: str, modes: list[str], headline_mode: str,
+                    ballast_env: dict, mode_rounds: dict) -> None:
+    """One paired round: N and 4N replays for EVERY mode back-to-back in
+    the same host-drift window; the hw envelope + parallel-ceiling jobs run
+    inside the headline mode's subprocesses and normalize both modes."""
+    ceils = None
+    env = None
+    for mode in modes:
+        menv = {"I3S_MERGE_MODE": mode}
+        if mode == "mor":
+            menv["I3S_MOR_COMPACT"] = "1"
+        if mode != headline_mode:
+            menv["I3S_CEILING"] = "0"
+        # each level's parallel-ceiling job runs INSIDE the replay
+        # subprocess (same JVM, same host window) so normalization is not
+        # distorted by between-process host drift
+        r_n = run_replay(n, feed, env_extra={**ballast_env, **menv})
+        r_4n = run_replay(CPUS, feed, env_extra=menv)
+        if mode == headline_mode:
+            env = hw_envelope(n, CPUS)
+            ceils = {
+                "ceiling_seconds_N": r_n["ceiling_seconds"],
+                "ceiling_seconds_4N": r_4n["ceiling_seconds"],
+                "ceiling_shuffle_seconds_N": r_n["ceiling_shuffle_seconds"],
+                "ceiling_shuffle_seconds_4N": r_4n["ceiling_shuffle_seconds"],
+            }
+        speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
+        ceil_sp = ceils["ceiling_seconds_N"] / ceils["ceiling_seconds_4N"]
+        ceil_sh_sp = (
+            ceils["ceiling_shuffle_seconds_N"]
+            / ceils["ceiling_shuffle_seconds_4N"]
+        )
+        mode_rounds[mode].append({
+            "merge_mode": mode,
+            "events": r_4n["events"],
+            "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
+            "thr_4N": r_4n["events_per_sec"], "seconds_4N": r_4n["seconds"],
+            "efficiency": round(speedup / 4, 3),
+            "hw_speedup": env["hw_speedup"],
+            "cpu_env_efficiency": round(speedup / env["hw_speedup"], 3),
+            **ceils,
+            "ceiling_speedup": round(ceil_sp, 3),
+            "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
+            "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
+            # headline normalization: engine speedup vs the host's
+            # same-window perfect-scaling ceiling for a minimal keyed merge
+            # (one required co-locating exchange, zero engine logic — see
+            # tools/replay_bench.py, BENCH.md)
+            "normalized_efficiency": round(speedup / ceil_sh_sp, 3),
+        })
+
+
+def aggregate(rnds, events, n, ballast_env):
+    """Headline estimator: MIN across rounds per level, for the replay AND
+    the ceilings alike. Host throttling only ever ADDS time, so each min
+    independently estimates the unthrottled time at that level; ratios of
+    per-round samples were a lottery (a throttle episode inside one window
+    distorts that round's ratio by 2-4x — see BENCH.md measurement hygiene;
+    per-round ratios stay disclosed in `rounds`). Conservative estimators
+    (median of per-round efficiencies) are reported alongside."""
+    t_n = min(r["seconds_N"] for r in rnds)
+    t_4n = min(r["seconds_4N"] for r in rnds)
+    c_n = min(r["ceiling_seconds_N"] for r in rnds)
+    c_4n = min(r["ceiling_seconds_4N"] for r in rnds)
+    cs_n = min(r["ceiling_shuffle_seconds_N"] for r in rnds)
+    cs_4n = min(r["ceiling_shuffle_seconds_4N"] for r in rnds)
+    speedup = t_n / t_4n
+    return {
+        "events": events,  # feed size: identical across rounds
+        "cores_N": n,
+        "cores_4N": CPUS,
+        "estimator": "min-over-rounds per level (throttle adds time only)",
+        "ballast_N": bool(ballast_env),
+        "warm_seconds": float(WARM_SECONDS),
+        "thr_N": round(events / t_n, 1),
+        "seconds_N": t_n,
+        "thr_4N": round(events / t_4n, 1),
+        "seconds_4N": t_4n,
+        "scaling_efficiency": round(speedup / 4, 3),
+        "hw_speedup": rnds[-1]["hw_speedup"],
+        "cpu_env_efficiency": round(speedup / rnds[-1]["hw_speedup"], 3),
+        "ceiling_seconds_N": c_n,
+        "ceiling_seconds_4N": c_4n,
+        "ceiling_speedup": round(c_n / c_4n, 3),
+        "compute_ceiling_efficiency": round(speedup / (c_n / c_4n), 3),
+        "ceiling_shuffle_seconds_N": cs_n,
+        "ceiling_shuffle_seconds_4N": cs_4n,
+        "ceiling_shuffle_speedup": round(cs_n / cs_4n, 3),
+        "normalized_scaling_efficiency": round(speedup / (cs_n / cs_4n), 3),
+        "normalized_efficiency_median_round": round(
+            _median([r["normalized_efficiency"] for r in rnds]), 3
+        ),
+        "raw_efficiency_median_round": round(
+            _median([r["efficiency"] for r in rnds]), 3
+        ),
+        "rounds": rnds,
+    }
 
 
 def main() -> int:
     feed = ensure_feed(WORK, CDC_EVENTS, CDC_BASE)
-    # SPARK_GRAFT_QUERIES=0: scaling-probe mode (skip Part A)
+
+    # ---- Part A pass 1 (+2.. if they fit; gate is inside) ----------------
+    pass_cost = 0.0
     if os.environ.get("SPARK_GRAFT_QUERIES", "1") == "1":
-        times, query_reps = run_queries()
-    else:
-        times, query_reps = {}, {}
+        pass_cost = run_query_passes(QUERY_PASSES)
+        emit(partial=True)
 
     n = max(CPUS // 4, 1)
     if not CDC_SCALING:
         r_4n = run_replay(CPUS, feed)
-        cdc = {
+        STATE["cdc"] = {
             "events": r_4n["events"],
             "cores_4N": CPUS,
             "thr_4N": r_4n["events_per_sec"],
             "seconds_4N": r_4n["seconds"],
         }
-        times["cdc_replay"] = r_4n["seconds"]
+        STATE["times"]["cdc_replay"] = r_4n["seconds"]
     else:
         # Paired-round protocol: this sandbox VM's effective CPU speed
         # drifts 2-3x over minutes (shared host). Measuring N and 4N in
         # adjacent subprocesses ("a round") controls for that drift far
-        # better than one long N phase followed by one long 4N phase;
-        # efficiency is computed per matched round; the MEDIAN round is
-        # the headline, with every raw number disclosed alongside.
-        rounds = []
-        # iso-clock headline (round-3 protocol): the N-level subprocess is
-        # pinned to N CPUs with busy-spin ballast on the rest, so its cores
-        # run at the same clock/turbo state as the fully-loaded 4N level.
-        # Scaling OUT (the north rule's N->4N executors) adds machines and
-        # does not speed up the small cluster's cores — on one VM, an idle-
-        # host N run turbo-boosts 20%+ per core, which deflates measured
-        # efficiency below what a real scale-out would show. Ballast is
-        # conservative in the other direction (the N level keeps a memory-
-        # bandwidth advantage). SPARK_GRAFT_BALLAST=0 restores the bare
-        # protocol; both configurations stay fully disclosed in `rounds`.
+        # better than one long N phase followed by one long 4N phase.
+        #
+        # iso-clock: the N-level subprocess is pinned to N CPUs with
+        # busy-spin ballast on the rest, so its cores run at the same
+        # clock/turbo state as the fully-loaded 4N level. Scaling OUT (the
+        # north rule's N->4N executors) adds machines and does not speed up
+        # the small cluster's cores — on one VM, an idle-host N run
+        # turbo-boosts 20%+ per core, which deflates measured efficiency
+        # below what a real scale-out would show. SPARK_GRAFT_BALLAST=0
+        # restores the bare protocol; both stay disclosed in `rounds`.
         ballast_env = (
             {"I3S_BALLAST": "1"}
             if os.environ.get("SPARK_GRAFT_BALLAST", "1") == "1"
             else {}
         )
-        # Dual-mode rounds (round-4): each round measures BOTH merge modes
-        # back-to-back inside the same drift window — MOR (O(delta) delta
-        # files + one timed compaction to the same end state) is the
-        # HEADLINE mode; COW (inline touched-bucket rewrite) is disclosed
-        # alongside from the very same windows. The host parallel-ceiling
-        # jobs run once per round (inside the headline mode's subprocesses)
-        # and normalize both modes — same window, same host state.
         modes = [
             m.strip()
             for m in os.environ.get("SPARK_GRAFT_SCALING_MODES", "cow,mor").split(",")
             if m.strip()
         ]
         headline_mode = modes[0]
-        mode_rounds = {m: [] for m in modes}
-        for _ in range(max(SCALING_ROUNDS, 1)):
-            ceils = None
-            env = None
-            for mode in modes:
-                menv = {"I3S_MERGE_MODE": mode}
-                if mode == "mor":
-                    menv["I3S_MOR_COMPACT"] = "1"
-                if mode != headline_mode:
-                    menv["I3S_CEILING"] = "0"
-                # each level's parallel-ceiling job runs INSIDE the replay
-                # subprocess (same JVM, same host window) so normalization
-                # is not distorted by between-process host drift
-                r_n = run_replay(n, feed, env_extra={**ballast_env, **menv})
-                r_4n = run_replay(CPUS, feed, env_extra=menv)
-                if mode == headline_mode:
-                    env = hw_envelope(n, CPUS)
-                    ceils = {
-                        "ceiling_seconds_N": r_n["ceiling_seconds"],
-                        "ceiling_seconds_4N": r_4n["ceiling_seconds"],
-                        "ceiling_shuffle_seconds_N": r_n["ceiling_shuffle_seconds"],
-                        "ceiling_shuffle_seconds_4N": r_4n["ceiling_shuffle_seconds"],
-                    }
-                speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
-                ceil_sp = ceils["ceiling_seconds_N"] / ceils["ceiling_seconds_4N"]
-                ceil_sh_sp = (
-                    ceils["ceiling_shuffle_seconds_N"]
-                    / ceils["ceiling_shuffle_seconds_4N"]
-                )
-                mode_rounds[mode].append({
-                    "merge_mode": mode,
-                    "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
-                    "thr_4N": r_4n["events_per_sec"], "seconds_4N": r_4n["seconds"],
-                    "efficiency": round(speedup / 4, 3),
-                    "hw_speedup": env["hw_speedup"],
-                    "cpu_env_efficiency": round(speedup / env["hw_speedup"], 3),
-                    **ceils,
-                    "ceiling_speedup": round(ceil_sp, 3),
-                    "compute_ceiling_efficiency": round(speedup / ceil_sp, 3),
-                    "ceiling_shuffle_speedup": round(ceil_sh_sp, 3),
-                    # headline normalization: engine speedup vs the host's
-                    # same-window perfect-scaling ceiling for a minimal
-                    # keyed merge (one required co-locating exchange, zero
-                    # engine logic — see tools/replay_bench.py, BENCH.md)
-                    "normalized_efficiency": round(speedup / ceil_sh_sp, 3),
-                })
-        rounds = mode_rounds[headline_mode]
-        # headline estimator: MIN across rounds per level, for the replay
-        # AND the ceilings alike. Host throttling only ever ADDS time, so
-        # each min independently estimates the unthrottled time at that
-        # level; ratios of per-round samples were a lottery (a throttle
-        # episode inside one window distorts that round's ratio by 2-4x —
-        # see BENCH.md measurement hygiene; per-round ratios stay disclosed
-        # in `rounds` for transparency).
-        def _median(xs):
-            s = sorted(xs)
-            k = len(s)
-            return s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
-
-        def aggregate(rnds, events):
-            t_n = min(r["seconds_N"] for r in rnds)
-            t_4n = min(r["seconds_4N"] for r in rnds)
-            c_n = min(r["ceiling_seconds_N"] for r in rnds)
-            c_4n = min(r["ceiling_seconds_4N"] for r in rnds)
-            cs_n = min(r["ceiling_shuffle_seconds_N"] for r in rnds)
-            cs_4n = min(r["ceiling_shuffle_seconds_4N"] for r in rnds)
-            speedup = t_n / t_4n
-            agg = {
-                "events": events,  # feed size: identical across rounds
-                "cores_N": n,
-                "cores_4N": CPUS,
-                "estimator": "min-over-rounds per level (throttle adds time only)",
-                "ballast_N": bool(ballast_env),
-                "thr_N": round(events / t_n, 1),
-                "seconds_N": t_n,
-                "thr_4N": round(events / t_4n, 1),
-                "seconds_4N": t_4n,
-                "scaling_efficiency": round(speedup / 4, 3),
-                "hw_speedup": rnds[-1]["hw_speedup"],
-                "cpu_env_efficiency": round(speedup / rnds[-1]["hw_speedup"], 3),
-                "ceiling_seconds_N": c_n,
-                "ceiling_seconds_4N": c_4n,
-                "ceiling_speedup": round(c_n / c_4n, 3),
-                "compute_ceiling_efficiency": round(speedup / (c_n / c_4n), 3),
-                "ceiling_shuffle_seconds_N": cs_n,
-                "ceiling_shuffle_seconds_4N": cs_4n,
-                "ceiling_shuffle_speedup": round(cs_n / cs_4n, 3),
-                "normalized_scaling_efficiency": round(speedup / (cs_n / cs_4n), 3),
-                # conservative estimators alongside min-over-rounds: the
-                # MEDIAN of per-round raw/normalized efficiencies — a single
-                # throttle episode cannot inflate it, and it does not mix
-                # samples across rounds. Both reported; see BENCH.md.
-                "normalized_efficiency_median_round": round(
-                    _median([r["normalized_efficiency"] for r in rnds]), 3
-                ),
-                "raw_efficiency_median_round": round(
-                    _median([r["efficiency"] for r in rnds]), 3
-                ),
-                "rounds": rnds,
+        mode_rounds: dict[str, list] = {m: [] for m in modes}
+        round_cost = 0.0
+        for i in range(max(SCALING_ROUNDS, 1)):
+            # round 1 always runs (it produces `value`); later rounds are
+            # gated on the measured cost of the previous round
+            if i >= 1 and not fits(round_cost):
+                skip(f"scaling_round_{i + 1}+", round_cost)
+                break
+            t0 = time.perf_counter()
+            dual_mode_round(n, feed, modes, headline_mode, ballast_env,
+                            mode_rounds)
+            round_cost = time.perf_counter() - t0
+            # refresh the cumulative state after every round so a kill
+            # between rounds still discloses completed rounds
+            events = mode_rounds[headline_mode][-1]["events"]
+            cdc = aggregate(mode_rounds[headline_mode], events, n, ballast_env)
+            cdc["merge_mode"] = headline_mode
+            cdc["modes"] = {
+                m: aggregate(mode_rounds[m], events, n, ballast_env)
+                for m in modes
             }
-            return agg
+            # throughput "value" = the best mode's sustained 4N rate: the
+            # modes split the criteria by design — COW is the delta>>base
+            # throughput mode, MOR+timed-compaction the 10^10 delta<<base
+            # representative; value_mode says which carries the top line.
+            best_mode = max(modes, key=lambda m: cdc["modes"][m]["thr_4N"])
+            cdc["value_mode"] = best_mode
+            cdc["value_thr_4N"] = cdc["modes"][best_mode]["thr_4N"]
+            STATE["cdc"] = cdc
+            STATE["times"]["cdc_replay"] = cdc["modes"][best_mode]["seconds_4N"]
+            emit(partial=True)
 
-        events = r_4n["events"]
-        cdc = aggregate(rounds, events)
-        cdc["merge_mode"] = headline_mode
-        # secondary modes from the SAME drift windows, fully disclosed
-        cdc["modes"] = {
-            m: aggregate(mode_rounds[m], events) for m in modes
-        }
-        # throughput "value" = the best mode's sustained 4N rate: the modes
-        # split the criteria by design — COW is the delta>>base throughput
-        # mode (one touched-bucket rewrite), MOR+timed-compaction is the
-        # 10^10 delta<<base representative and the SCALING headline (its
-        # extra fold work halves absolute rate on this feed). Both modes'
-        # full numbers come from the same drift windows; value_mode says
-        # which one the top-line number is.
-        best_mode = max(modes, key=lambda m: cdc["modes"][m]["thr_4N"])
-        cdc["value_mode"] = best_mode
-        cdc["value_thr_4N"] = cdc["modes"][best_mode]["thr_4N"]
-        times["cdc_replay"] = cdc["modes"][best_mode]["seconds_4N"]
+    cdc = STATE["cdc"]
+
+    # ---- remaining Part A passes (if pass 1 gate cut them early, the
+    # samples it did take already stand; nothing more to do here) ----------
 
     if MOR_BENCH:
         # delta << base: MOR appends O(delta) delta files; COW rewrites
         # every touched bucket of the large base. Same feed, same oracle.
-        feed_sm = ensure_feed(WORK, MOR_EVENTS, MOR_BASE)
+        # est: 4 quick replays/cycle at ~WARM 20s each + feed generation
+        est_cycle = 240.0
         quick = {"I3S_WARM_SECONDS": "20", "I3S_CEILING": "0"}
-        # interleave cow/mor samples (2 cycles) and take the per-mode min —
-        # this host's clock drifts 2-3x within minutes, so back-to-back
-        # single samples can invert the comparison (observed: a drift
-        # window made MOR look 3x slower than COW in one round)
-        cow_s, mor_s, events_sm = [], [], None
-        for _ in range(2):
+        # interleave cow/mor samples (up to 2 cycles) and take the per-mode
+        # min — this host's clock drifts 2-3x within minutes, so
+        # back-to-back single samples can invert the comparison
+        cow_s: list[float] = []
+        mor_s: list[float] = []
+        events_sm = None
+        for c in range(2):
+            if not fits(est_cycle):
+                skip(f"mor_small_delta_cycle_{c + 1}+", est_cycle)
+                break
+            t0 = time.perf_counter()
+            feed_sm = ensure_feed(WORK, MOR_EVENTS, MOR_BASE)
             r_cow = run_replay(CPUS, feed_sm, n_base=MOR_BASE, env_extra=quick)
             r_mor = run_replay(
                 CPUS, feed_sm, n_base=MOR_BASE,
@@ -409,40 +504,75 @@ def main() -> int:
             cow_s.append(r_cow["seconds"])
             mor_s.append(r_mor["seconds"])
             events_sm = r_mor["events"]
-        cdc["mor_small_delta"] = {
-            "events": events_sm,
-            "base_docs": MOR_BASE,
-            "cores": CPUS,
-            "seconds_cow": min(cow_s),
-            "thr_cow": round(events_sm / min(cow_s), 1),
-            "seconds_mor": min(mor_s),
-            "thr_mor": round(events_sm / min(mor_s), 1),
-            "cow_reps": cow_s,
-            "mor_reps": mor_s,
-            "mor_speedup_vs_cow": round(min(cow_s) / min(mor_s), 3),
-        }
+            est_cycle = time.perf_counter() - t0
+        if cow_s:
+            cdc["mor_small_delta"] = {
+                "events": events_sm,
+                "base_docs": MOR_BASE,
+                "cores": CPUS,
+                "seconds_cow": min(cow_s),
+                "thr_cow": round(events_sm / min(cow_s), 1),
+                "seconds_mor": min(mor_s),
+                "thr_mor": round(events_sm / min(mor_s), 1),
+                "cow_reps": cow_s,
+                "mor_reps": mor_s,
+                "mor_speedup_vs_cow": round(min(cow_s) / min(mor_s), 3),
+            }
+            emit(partial=True)
 
+    if SUSTAINED:
+        # est: 16 micro-batches at 1M events + maintenance ~ 3 min
+        est_sus = 200.0
+        if not fits(est_sus):
+            skip("sustained", est_sus)
+        else:
+            feed_su = ensure_feed(WORK, SUSTAINED_EVENTS, SUSTAINED_BASE)
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "sustained_bench.py"),
+                 str(CPUS), feed_su, str(SUSTAINED_BASE), "16",
+                 os.path.join(WORK, "sustained"), "16", "4"],
+                capture_output=True, text=True,
+                env={**os.environ, "I3S_MERGE_MODE": "mor"},
+            )
+            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if lines:
+                cdc["sustained"] = json.loads(lines[-1])
+            else:  # disclose rather than fail the whole bench
+                cdc["sustained"] = {"error": (proc.stderr or "no output")[-500:]}
+            emit(partial=True)
+
+    if MOR_BENCH:
         # N vs 4N scaling AT THE STEADY-STATE DESIGN POINT (delta << base):
         # the 10^10-event north rule describes a long replay where each
         # batch's delta is small against the accumulated base, and MOR
         # writes O(delta) — so per-event work is dominated by the CPU-bound
         # validation/winner scans, not by exchange/write bandwidth (the
         # full-protocol feed above rewrites ~the whole table every batch,
-        # the worst case for exchange share). Same job at both levels
-        # (MOR, no fold — identical work, so the ratio is exact), paired
-        # rounds, ballasted N, raw efficiency reported per round.
+        # the worst case for exchange share). Same job at both levels (MOR,
+        # no fold — identical work, so the ratio is exact), paired rounds,
+        # ballasted N, raw efficiency reported per round.
         sm_ballast = (
             {"I3S_BALLAST": "1"}
             if os.environ.get("SPARK_GRAFT_BALLAST", "1") == "1"
             else {}
         )
         n_sm = max(CPUS // 4, 1)
+        quick = {"I3S_WARM_SECONDS": "20", "I3S_CEILING": "0"}
         sm_env = {**quick, "I3S_MERGE_MODE": "mor"}
         sm_rounds = []
-        for _ in range(2):
+        est_round = 240.0
+        for c in range(2):
+            if not fits(est_round):
+                skip(f"small_delta_scaling_round_{c + 1}+", est_round)
+                break
+            t0 = time.perf_counter()
+            feed_sm = ensure_feed(WORK, MOR_EVENTS, MOR_BASE)
             r_n = run_replay(n_sm, feed_sm, n_base=MOR_BASE,
                              env_extra={**sm_env, **sm_ballast})
             r_4 = run_replay(CPUS, feed_sm, n_base=MOR_BASE, env_extra=sm_env)
+            events_sm = r_4["events"]
             sm_rounds.append({
                 "thr_N": r_n["events_per_sec"], "seconds_N": r_n["seconds"],
                 "thr_4N": r_4["events_per_sec"], "seconds_4N": r_4["seconds"],
@@ -450,52 +580,29 @@ def main() -> int:
                     r_4["events_per_sec"] / r_n["events_per_sec"] / 4, 3
                 ),
             })
-        t_n_sm = min(r["seconds_N"] for r in sm_rounds)
-        t_4_sm = min(r["seconds_4N"] for r in sm_rounds)
-        cdc["small_delta_scaling"] = {
-            "events": events_sm,
-            "base_docs": MOR_BASE,
-            "merge_mode": "mor",
-            "cores_N": n_sm,
-            "cores_4N": CPUS,
-            "ballast_N": bool(sm_ballast),
-            "thr_N": round(events_sm / t_n_sm, 1),
-            "seconds_N": t_n_sm,
-            "thr_4N": round(events_sm / t_4_sm, 1),
-            "seconds_4N": t_4_sm,
-            "scaling_efficiency": round(t_n_sm / t_4_sm / 4, 3),
-            "raw_efficiency_median_round": round(
-                statistics.median(r["efficiency"] for r in sm_rounds), 3
-            ),
-            "rounds": sm_rounds,
-        }
+            est_round = time.perf_counter() - t0
+        if sm_rounds:
+            t_n_sm = min(r["seconds_N"] for r in sm_rounds)
+            t_4_sm = min(r["seconds_4N"] for r in sm_rounds)
+            cdc["small_delta_scaling"] = {
+                "events": events_sm,
+                "base_docs": MOR_BASE,
+                "merge_mode": "mor",
+                "cores_N": n_sm,
+                "cores_4N": CPUS,
+                "ballast_N": bool(sm_ballast),
+                "thr_N": round(events_sm / t_n_sm, 1),
+                "seconds_N": t_n_sm,
+                "thr_4N": round(events_sm / t_4_sm, 1),
+                "seconds_4N": t_4_sm,
+                "scaling_efficiency": round(t_n_sm / t_4_sm / 4, 3),
+                "raw_efficiency_median_round": round(
+                    statistics.median(r["efficiency"] for r in sm_rounds), 3
+                ),
+                "rounds": sm_rounds,
+            }
 
-    if SUSTAINED:
-        feed_su = ensure_feed(WORK, SUSTAINED_EVENTS, SUSTAINED_BASE)
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "sustained_bench.py"),
-             str(CPUS), feed_su, str(SUSTAINED_BASE), "16",
-             os.path.join(WORK, "sustained"), "16", "4"],
-            capture_output=True, text=True,
-            env={**os.environ, "I3S_MERGE_MODE": "mor"},
-        )
-        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if lines:
-            cdc["sustained"] = json.loads(lines[-1])
-        else:  # disclose rather than fail the whole bench
-            cdc["sustained"] = {"error": (proc.stderr or "no output")[-500:]}
-
-    print(json.dumps({
-        "metric": "change_events_per_sec",
-        "value": cdc.get("value_thr_4N", cdc["thr_4N"]),
-        "unit": "events/sec",
-        "queries": times,  # per-query MEDIAN over interleaved passes
-        "query_reps": query_reps,  # every raw sample, disclosed
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "cdc": cdc,
-    }))
+    emit(partial=False)
     return 0
 
 

@@ -54,6 +54,15 @@ def _tokens_list_array(
     while row0 < n:
         row1 = max(int(np.searchsorted(csum, flat0 + cap, side="right")), row0 + 1)
         local = lens[row0:row1]
+        # the row0+1 forced-progress step means ONE row longer than the cap
+        # would otherwise wrap silently under the int32 cast below — fail
+        # loudly instead (unreachable with production max_len bounds, but
+        # tests shrink the cap via monkeypatch)
+        if int(local.sum()) > cap:
+            raise ValueError(
+                f"single row of {int(local.sum())} tokens exceeds the list "
+                f"offset cap {cap}; cannot chunk"
+            )
         offsets = np.concatenate([[0], np.cumsum(local)]).astype(np.int32)
         flat1 = flat0 + int(local.sum())
         chunks.append(
@@ -108,6 +117,13 @@ def _take_rows(tbl: pa.Table, indices: np.ndarray) -> pa.Table:
             int(np.searchsorted(csum, off[row0] + _LIST_OFFSET_CAP, side="right")),
             row0 + 1,
         )
+        if int(off[row1] - off[row0]) > _LIST_OFFSET_CAP:
+            # same forced-progress hazard as _tokens_list_array: one row
+            # wider than the cap must error, not wrap in the int32 cast
+            raise ValueError(
+                f"single row extent {int(off[row1] - off[row0])} exceeds the "
+                f"list offset cap {_LIST_OFFSET_CAP}; cannot chunk"
+            )
         rel = (off[row0 : row1 + 1] - off[row0]).astype(np.int32)
         chunks.append(
             pa.ListArray.from_arrays(

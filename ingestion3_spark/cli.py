@@ -120,7 +120,8 @@ def cmd_compact(args) -> int:
     table = LakeTable.load(spark, args.table)
     if args.minor:
         # minor: fold the MOR delta stack only (O(deltas), base untouched)
-        folded = table.compact_deltas(min_layers=args.min_files)
+        layers = args.min_layers if args.min_layers is not None else args.min_files
+        folded = table.compact_deltas(min_layers=layers)
         removed = table.vacuum()
         print(json.dumps({"folded_layers": folded, "vacuumed_files": removed}))
         return 0
@@ -198,7 +199,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="bin-pack small files + vacuum")
     c.add_argument("--table", required=True)
-    c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--min-files", type=int, default=2,
+                   help="major: min files per bucket to bin-pack "
+                        "(with --minor and no --min-layers, doubles as the "
+                        "min delta-LAYER threshold)")
+    c.add_argument("--min-layers", type=int, default=None,
+                   help="minor only: min delta layers per bucket to fold "
+                        "(defaults to --min-files)")
     c.add_argument("--minor", action="store_true",
                    help="fold MOR delta layers only (no base rewrite)")
     c.set_defaults(fn=cmd_compact)

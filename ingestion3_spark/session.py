@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # never write \r progress bars into captured stdout/stderr: a bar
+        # fragment with no trailing newline glued itself onto bench.py's
+        # final JSON line in harness captures (BENCH_r02/r03: rc=0 yet the
+        # driver parsed nothing), and logs full of \r frames are unreadable
+        .config("spark.ui.showConsoleProgress", "false")
         # the replay engine submits independent per-batch jobs (winner
         # selection / offsets / error routing / classify / write) from
         # concurrent driver threads; FAIR scheduling interleaves their

@@ -23,7 +23,9 @@ import sys
 import pyarrow.parquet as pq
 import pytest
 
+from ingestion3_spark.cdc.generator import make_corpus, make_events
 from ingestion3_spark.cdc.oracle import diff_states, replay_oracle, table_state
+from ingestion3_spark.cdc.replay import ReplayEngine
 
 
 def _replay_cmd(feed, table, err, batches=4):
@@ -81,3 +83,90 @@ def test_sigkill_mid_replay_then_resume(spark, tmp_path):
         max_seq[part] = max(max_seq.get(part, -1), seq)
     assert {int(k): v for k, v in final["checkpoint"].items()} == max_seq
     assert killed, "kill landed after full completion — raise event count"
+
+# ---------------------------------------------------------------------------
+# Crash at the commit boundary, parametrized over BOTH adapters: the
+# exactly-once convergence must be a property of the ENGINE's
+# replay-from-checkpoint protocol, not of LakeTable's os.replace publish.
+# The SIGKILL test above kills a real process mid-LakeTable-replay; here
+# the crash is injected at the most adversarial instant — the batch's
+# commit call itself, AFTER data files were written but BEFORE the
+# snapshot publishes — then the same feed is redelivered in full.
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _crashy(table, fail_on_call: int):
+    """Wrap ``table.commit`` to raise on its Nth call (1-based)."""
+    orig = table.commit
+    state = {"calls": 0}
+
+    def commit(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == fail_on_call:
+            raise _InjectedCrash("crash before snapshot publish")
+        return orig(*a, **k)
+
+    table.commit = commit
+    return lambda: setattr(table, "commit", orig)
+
+
+def _mk_lake(spark, tmp_path):
+    table = ReplayEngine.create_table(
+        spark, str(tmp_path / "tbl"), num_buckets=4
+    )
+    reload = lambda: __import__(  # noqa: E731
+        "ingestion3_spark.lakehouse.table", fromlist=["LakeTable"]
+    ).LakeTable.load(spark, str(tmp_path / "tbl"))
+    return table, reload
+
+
+def _mk_mem(spark, tmp_path):
+    from tests.test_adapter_seam import MemTable
+
+    table = MemTable(spark, num_buckets=4)
+    # MemTable's durable state is its committed snapshot log; "reload"
+    # hands back the same object (uncommitted writes were never live)
+    return table, lambda: table
+
+
+@pytest.mark.parametrize("mk", [_mk_lake, _mk_mem], ids=["lake", "mem"])
+def test_commit_crash_then_redelivery_converges(spark, tmp_path, mk):
+    from tests.test_adapter_seam import _spark_df
+
+    base = make_corpus(150, seed=9, max_len=32)
+    events = make_events(2000, n_base_docs=150, seed=9, n_parts=4, max_len=32)
+
+    table, reload = mk(spark, tmp_path)
+    table.commit("append", add_files=table.write_files(_spark_df(spark, base)))
+
+    # crash on the SECOND engine commit: batch 1 lands, batch 2 dies at
+    # the publish boundary with its files written, batches 3-4 never run
+    disarm = _crashy(table, fail_on_call=2)
+    eng = ReplayEngine(spark, table, error_dir=str(tmp_path / "err"))
+    with pytest.raises(_InjectedCrash):
+        eng.replay(_spark_df(spark, events), num_batches=4)
+    disarm()
+
+    # durable state shows exactly one applied batch — the dead batch's
+    # files exist but are NOT live (nothing references them)
+    t2 = reload()
+    applied = [s for s in t2.snapshots() if s.operation != "append"]
+    assert len(applied) == 1
+
+    # full redelivery against the recovered table: checkpoint filtering
+    # must skip batch 1's rows, apply the rest exactly once
+    eng2 = ReplayEngine(spark, t2, error_dir=str(tmp_path / "err2"))
+    eng2.replay(_spark_df(spark, events), num_batches=4)
+    expected = replay_oracle(base, events)
+    actual = table_state([r.asDict() for r in t2.read().collect()])
+    assert not diff_states(expected, actual)
+
+    # and a third full replay is a pure no-op (exactly-once, again)
+    stats = eng2.replay(_spark_df(spark, events), num_batches=1)
+    assert all(s.changes == 0 for s in stats)
+    assert not diff_states(
+        expected, table_state([r.asDict() for r in t2.read().collect()])
+    )

@@ -1,7 +1,7 @@
 """Sustained multi-batch replay: does per-batch cost stay flat?
 
 Usage: python tools/sustained_bench.py <cores> <events_parquet> <n_base> \
-           <num_batches> <work_dir> [compact_every] [minor_every]
+           <num_batches> <work_dir> [compact_every] [minor_every] [expire_every]
 
 The north-rule metric is SUSTAINED upsert throughput at 10^10 events —
 i.e. thousands of micro-batches against one ever-growing table. A
@@ -48,6 +48,12 @@ def main() -> int:
     work = sys.argv[5]
     compact_every = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     minor_every = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    # snapshot-log retention cadence: every K batches, drop all but the
+    # last 4 snapshots (+ vacuum orphans). The driver-side metadata walk —
+    # _publish rewrites the WHOLE meta JSON (every snapshot + embedded
+    # lineage) per commit — grows linearly in retained snapshots, the
+    # 10^10 shape's thousands-of-micro-batches hazard (VERDICT r4 #5).
+    expire_every = int(sys.argv[8]) if len(sys.argv) > 8 else 0
     mode = os.environ.get("I3S_MERGE_MODE", "cow")
 
     spark = get_spark(
@@ -95,6 +101,17 @@ def main() -> int:
     batch_s: list[float] = []
     compact_s: list[float] = []
     minor_s: list[float] = []
+    expire_s: list[float] = []
+    # driver-side metadata overhead per batch, sampled cold: bytes of the
+    # current meta JSON (rewritten whole on every commit) + the current
+    # manifest, and the wall cost of a from-scratch LakeTable.load +
+    # checkpoint() + live_files() — the exact walk a resuming process pays
+    meta_bytes: list[int] = []
+    manifest_bytes: list[int] = []
+    reload_ms: list[float] = []
+    n_snaps: list[int] = []
+    from ingestion3_spark.lakehouse.table import LakeTable
+
     for b in range(num_batches):
         b_lo = lo + b * step
         if b_lo > hi:
@@ -111,13 +128,42 @@ def main() -> int:
             t0 = time.perf_counter()
             table.compact_deltas()
             minor_s.append(round(time.perf_counter() - t0, 3))
-        print(f"[sustained] batch={b} {batch_s[-1]}s", flush=True)
+        if expire_every and (b + 1) % expire_every == 0:
+            t0 = time.perf_counter()
+            table.expire_snapshots(keep_last=4)
+            table.vacuum()
+            expire_s.append(round(time.perf_counter() - t0, 3))
+        meta_bytes.append(os.path.getsize(
+            os.path.join(table.meta_dir, table._current_file)))
+        snap = table.current_snapshot
+        manifest_bytes.append(os.path.getsize(
+            os.path.join(table.path, snap.manifest_path)))
+        t0 = time.perf_counter()
+        t_cold = LakeTable.load(spark, tp)
+        t_cold.checkpoint()
+        t_cold.live_files()
+        reload_ms.append(round((time.perf_counter() - t0) * 1000, 2))
+        n_snaps.append(len(table.snapshots()))
+        print(f"[sustained] batch={b} {batch_s[-1]}s meta={meta_bytes[-1]}B "
+              f"reload={reload_ms[-1]}ms snaps={n_snaps[-1]}", flush=True)
 
     half = len(batch_s) // 2
-    # skip batch 0 in the first half: it carries JIT/page-cache warmup
-    first = statistics.median(batch_s[1:half] or batch_s[:half])
-    second = statistics.median(batch_s[half:])
-    total = sum(batch_s) + sum(compact_s) + sum(minor_s)
+    # flatness ratio needs >=4 batches: below that the warmup-skipped
+    # first-half slice is empty (and silently re-including batch 0 — the
+    # JIT/page-cache warmup batch — would bias the ratio), so short runs
+    # report raw batch times only, no medians
+    if len(batch_s) >= 4:
+        # skip batch 0 in the first half: it carries JIT/page-cache warmup
+        first = statistics.median(batch_s[1:half])
+        second = statistics.median(batch_s[half:])
+        flatness = {
+            "first_half_median": round(first, 3),
+            "second_half_median": round(second, 3),
+            "ratio_second_over_first": round(second / first, 3),
+        }
+    else:
+        flatness = {"flatness": f"n/a: {len(batch_s)} batches < 4"}
+    total = sum(batch_s) + sum(compact_s) + sum(minor_s) + sum(expire_s)
     rows_final = table.read().count()
     print(json.dumps({
         "mode": mode,
@@ -129,9 +175,18 @@ def main() -> int:
         "compact_every": compact_every,
         "minor_compactions": minor_s,
         "minor_every": minor_every,
-        "first_half_median": round(first, 3),
-        "second_half_median": round(second, 3),
-        "ratio_second_over_first": round(second / first, 3),
+        "expire_every": expire_every,
+        "expirations": expire_s,
+        **flatness,
+        "driver_overhead": {
+            "meta_bytes_first": meta_bytes[0], "meta_bytes_last": meta_bytes[-1],
+            "manifest_bytes_first": manifest_bytes[0],
+            "manifest_bytes_last": manifest_bytes[-1],
+            "reload_ms_first": reload_ms[0], "reload_ms_last": reload_ms[-1],
+            "reload_ms": reload_ms,
+            "meta_bytes": meta_bytes,
+            "snapshots_retained_last": n_snaps[-1],
+        },
         "rows_final": rows_final,
         "sustained_events_per_sec": round(n_events / total, 1),
         "total_seconds": round(total, 3),
