@@ -606,5 +606,20 @@ def main() -> int:
     return 0
 
 
+def _guarded_main() -> int:
+    try:
+        return main()
+    except Exception as e:  # disclose-and-flush: stdout must ALWAYS end
+        # with a parseable line, even when a replay subprocess dies
+        detail = str(e)
+        if isinstance(e, subprocess.CalledProcessError):
+            detail = (e.stderr or e.stdout or "")[-300:]
+        STATE["skipped"].append(
+            {"section": f"error:{type(e).__name__}", "detail": detail[-300:]}
+        )
+        emit(partial=True)
+        raise
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_guarded_main())

@@ -479,6 +479,8 @@ class ReplayEngine:
         batch_id_start: int | None = None,
         minor_every: int = 0,
         compact_every: int = 0,
+        expire_every: int = 0,
+        keep_last: int = 4,
     ) -> list[BatchStats]:
         """Split the feed into seq-range micro-batches and apply in order.
 
@@ -519,6 +521,15 @@ class ReplayEngine:
                 self.table.compact(min_files=2)
             elif minor_every and (b + 1) % minor_every == 0:
                 self.table.compact_deltas()
+            if expire_every and (b + 1) % expire_every == 0:
+                # retention cadence: the driver-side metadata walk is
+                # O(retained snapshots) per commit (every publish rewrites
+                # the whole meta JSON, so unbounded retention is O(batches²)
+                # total bytes over a 10^10-scale replay). Expiring on a
+                # cadence bounds it at O(keep_last); exactly-once is
+                # unaffected — the checkpoint lives in the CURRENT snapshot
+                # (Iceberg binding: CALL system.expire_snapshots).
+                self.table.expire_snapshots(keep_last=max(keep_last, 1))
         return out
 
     def check_compat(self, events: DataFrame) -> None:

@@ -8,7 +8,7 @@ or  python -m ingestion3_spark.cli <cmd> ...   (local[*])
 Commands:
   generate --out feed.parquet --events N [--base-docs N] [--seed S] [--skew]
   replay   --feed feed.parquet --table DIR [--err-dir DIR] [--batches N]
-           [--minor-every K] [--compact-every K]
+           [--minor-every K] [--compact-every K] [--expire-every K]
   stream   --feed-dir DIR --table DIR --checkpoint DIR [--err-dir DIR]
   evolve   --table DIR (--add name:type | --rename old:new | --widen name:type)
   compact  --table DIR [--min-files N] [--minor]
@@ -67,7 +67,9 @@ def cmd_replay(args) -> int:
     eng = ReplayEngine(spark, table, error_dir=args.err_dir)
     stats = eng.replay(spark.read.parquet(args.feed), num_batches=args.batches,
                        minor_every=args.minor_every,
-                       compact_every=args.compact_every)
+                       compact_every=args.compact_every,
+                       expire_every=args.expire_every,
+                       keep_last=args.keep_last)
     for s in stats:
         print(json.dumps(s.as_dict()))
     print(json.dumps({"rows": table.read().count(), "checkpoint": table.checkpoint()}))
@@ -177,6 +179,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold MOR delta layers every K batches (0=off)")
     r.add_argument("--compact-every", type=int, default=0,
                    help="major compact every K batches (0=off)")
+    r.add_argument("--expire-every", type=int, default=0,
+                   help="expire old snapshots every K batches (0=off); "
+                        "bounds the per-commit metadata walk at O(--keep-last)")
+    r.add_argument("--keep-last", type=int, default=4,
+                   help="snapshots retained by --expire-every")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="streaming replay of a file-drop feed dir")

@@ -76,6 +76,11 @@ Member                    Iceberg binding
                           alone — minor compaction: fold the delta/delete
                           stack without rewriting data files, bounding MOR
                           read amplification between full rewrites.
+``expire_snapshots``      ``CALL system.expire_snapshots(t, retain_last =>
+                          K)`` — retention cadence bounding the metadata
+                          walk at O(K); at 10^10 events a replay is
+                          thousands of commits, and unbounded snapshot
+                          retention makes every publish O(history).
 ========================  ====================================================
 
 Reference provenance: the contract replaces the reference's non-atomic
@@ -153,3 +158,5 @@ class TableAdapter(Protocol):
     def compact(self, min_files: int = 2) -> int: ...
 
     def compact_deltas(self, min_layers: int = 2) -> int: ...
+
+    def expire_snapshots(self, keep_last: int = 2) -> None: ...

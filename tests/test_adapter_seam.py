@@ -146,6 +146,12 @@ class MemTable:
     def compact_deltas(self, min_layers: int = 2) -> int:
         return 0
 
+    def expire_snapshots(self, keep_last: int = 2) -> None:
+        # retention: drop all but the last K snapshots; files only live in
+        # the latest summary's __live set, so no orphan tracking needed
+        with self._lock:
+            self._snaps = self._snaps[-max(keep_last, 1):]
+
 
 def _spark_df(spark, tbl):
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

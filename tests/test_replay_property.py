@@ -70,9 +70,11 @@ def _feed(events) -> pa.Table:
     st.sampled_from(["cow", "mor"]),
     st.integers(0, 2),  # minor_every: random in-loop delta folds (0=off)
     st.integers(0, 3),  # compact_every: random in-loop major compacts
+    st.integers(0, 2),  # expire_every: random snapshot-retention cadence
 )
 def test_random_feed_matches_oracle(
-    spark, tmp_path_factory, events, n_batches, mode, minor_every, compact_every
+    spark, tmp_path_factory, events, n_batches, mode, minor_every,
+    compact_every, expire_every
 ):
     tmp = tmp_path_factory.mktemp("prop")
     feed = _feed(events)
@@ -82,7 +84,8 @@ def test_random_feed_matches_oracle(
     eng = ReplayEngine(spark, table, error_dir=str(tmp / "err"))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     eng.replay(spark.createDataFrame(feed.to_pandas()), num_batches=n_batches,
-               minor_every=minor_every, compact_every=compact_every)
+               minor_every=minor_every, compact_every=compact_every,
+               expire_every=expire_every, keep_last=2)
     expected = replay_oracle(None, feed)
     actual = table_state([r.asDict() for r in table.read().collect()])
     assert not diff_states(expected, actual)
