@@ -48,18 +48,31 @@ def test_sigkill_mid_replay_then_resume(spark, tmp_path):
     )
     assert any(ln.startswith("{") for ln in gen.stdout.splitlines())
 
-    # run 1: SIGKILL well before a 4-batch replay of 40k events can finish
-    # (startup ~10s + ~4 batches x ~5-10s); 25s typically lands in batch 1-2
+    # run 1: SIGKILL deterministically MID-replay — poll the table's
+    # metadata dir and kill the instant the first batch commit publishes
+    # (v2.metadata.json; create() wrote v1), while >=3 batches of work
+    # remain. A fixed timer raced host drift both ways: a fast window let
+    # the whole 4-batch replay finish first, a slow one killed before any
+    # commit existed.
+    import glob as _glob
+    import os as _os
+    import time as _t
+
     p = subprocess.Popen(_replay_cmd(feed, table_path, err),
-                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                         text=True)
-    try:
-        p.wait(timeout=25)
-        killed = False
-    except subprocess.TimeoutExpired:
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = _t.time() + 240
+    killed = False
+    while _t.time() < deadline and p.poll() is None:
+        if len(_glob.glob(_os.path.join(table_path, "metadata",
+                                        "v*.metadata.json"))) >= 2:
+            p.kill()
+            p.wait()
+            killed = True
+            break
+        _t.sleep(0.2)
+    if p.poll() is None:  # deadline without a single commit: hung run
         p.kill()
         p.wait()
-        killed = True
 
     # run 2: same feed, fresh process — must converge regardless of where
     # the kill landed, applying only what the checkpoint says is missing
